@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: rasterize fwd+bwd ms/frame at 800x800.
+
+Scene: 100k random Gaussians in the reference's init cube ([-1.3, 1.3]^3,
+train.py:52-58) viewed by the reference smoke-test camera — i.e., the Lego
+training configuration at an early-training Gaussian count scale.
+
+The reference publishes NO performance numbers (BASELINE.md); ``vs_baseline``
+normalizes against a fixed 100 ms/frame budget so progress is comparable
+across rounds (higher = better; 1.0 == 100 ms/frame).
+
+Prints one JSON line:
+  {"metric": "rasterize_fwd_bwd_ms_per_frame", "value": ..., "unit": "ms",
+   "vs_baseline": ...}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_BUDGET_MS = 100.0
+N_GAUSSIANS = 100_000
+WIDTH = HEIGHT = 800
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gstpu.config import RenderSettings
+    from gstpu.ops.losses import l1_loss
+    from gstpu.ops.rasterize import render
+    from tests.scenes import example_camera, random_scene
+
+    use_pallas = "--no-pallas" not in sys.argv and (
+        jax.default_backend() == "tpu")
+    if use_pallas:
+        try:
+            from gstpu.ops import pallas_rasterize  # noqa: F401
+        except ImportError:
+            use_pallas = False
+
+    rng = np.random.default_rng(0)
+    cam = example_camera(width=WIDTH, height=HEIGHT)
+    pts, shs, scales, rotations, opacities = random_scene(
+        rng, n=N_GAUSSIANS, extent=1.3, z_center=-10.0,
+        opacity_range=(0.05, 0.9), scale_range=(0.01, 0.05))
+    j = jnp.asarray
+    args = (j(pts), j(scales), j(rotations), j(opacities), j(shs))
+    cam_args = (j(cam["view"]), j(cam["proj"]), j(cam["campos"]),
+                jnp.zeros(3, jnp.float32))
+    target = j(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
+
+    settings = RenderSettings(width=WIDTH, height=HEIGHT,
+                              pair_capacity=1 << 21, use_pallas=use_pallas)
+
+    @jax.jit
+    def fwd_bwd(means, scales_, rots, opac, shs_):
+        def loss_fn(m, s, r, o, sh):
+            img, _, _ = render(settings, cam["tan_fovx"], cam["tan_fovy"],
+                               1.0, m, s, r, o, sh, *cam_args, None,
+                               jnp.int32(0))
+            return l1_loss(img, target)
+        return jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+            means, scales_, rots, opac, shs_)
+
+    # warmup / compile
+    for _ in range(WARMUP):
+        out = fwd_bwd(*args)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fwd_bwd(*args)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / ITERS * 1e3
+
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_ms_per_frame",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_BUDGET_MS / ms, 4),
+        "extra": {
+            "gaussians_per_s": round(N_GAUSSIANS / (ms / 1e3)),
+            "n_gaussians": N_GAUSSIANS,
+            "resolution": f"{WIDTH}x{HEIGHT}",
+            "backend": jax.default_backend(),
+            "pallas": use_pallas,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

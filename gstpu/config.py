@@ -1,0 +1,144 @@
+"""Configuration for the TPU-native 3D Gaussian Splatting framework.
+
+Mirrors the *effective* configuration surface of the reference
+(``/root/reference/config.py:26-113`` plus the ``.get(key, default)`` keys read in
+``/root/reference/train.py:385-391,644-646,256`` that are absent from
+``GaussianParams``).  Unlike the reference, every field here is read somewhere,
+and the config is a frozen dataclass usable as a static jit argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Tile size of the rasterizer (reference: config.py:21-22, 16x16 pixels/tile).
+TILE_X = 16
+TILE_Y = 16
+TILE_PIXELS = TILE_X * TILE_Y
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static (compile-time) settings of one render configuration.
+
+    These pin the shapes of the jitted render pipeline.  Changing any field is
+    a recompile event (the same role the host-side re-allocations play in the
+    reference, train.py:471-476).
+    """
+
+    width: int
+    height: int
+    sh_degree: int = 3
+    # Static capacity of the duplicated (tile, gaussian) pair list.  The
+    # reference sizes this dynamically by a host readback (forward.py:764);
+    # under XLA we pad to a static capacity and mask (SURVEY §7.2.1).
+    pair_capacity: int = 1 << 18
+    # Gaussians processed per compositing step (chunked front-to-back walk).
+    chunk: int = 32
+    # Replicate the reference's inconsistent forward/backward EWA transforms
+    # (see ops/preprocess.py Q12/Q13 notes). parity=True matches the reference
+    # bit-for-bit in structure; parity=False uses the mathematically consistent
+    # adjoint of our own forward.
+    parity: bool = True
+    # Q15 (see ops/preprocess_bwd.cov2d_backward): replicate the reference's
+    # constant camera-translation bias in position gradients.  Affine (not
+    # linear) in the cotangent, so only strict-parity gradient tests enable it.
+    grad_bias_parity: bool = False
+    # Use the Pallas TPU kernels for the rasterize hot loops instead of the
+    # pure-XLA path.
+    use_pallas: bool = False
+    # Rasterize only a band of `tile_rows` tile rows (None = the full grid).
+    # The multi-chip path shards tile rows over the mesh: each device builds
+    # this many rows starting at a traced row offset (ops/rasterize.py row0).
+    tile_rows: int | None = None
+
+    @property
+    def grid_x(self) -> int:
+        return (self.width + TILE_X - 1) // TILE_X
+
+    @property
+    def grid_y(self) -> int:
+        return (self.height + TILE_Y - 1) // TILE_Y
+
+    @property
+    def num_tiles(self) -> int:
+        return self.grid_x * self.grid_y
+
+    @property
+    def band_rows(self) -> int:
+        return self.tile_rows if self.tile_rows is not None else self.grid_y
+
+    @property
+    def band_tiles(self) -> int:
+        return self.grid_x * self.band_rows
+
+
+@dataclasses.dataclass(frozen=True)
+class GSConfig:
+    """Training configuration (reference: config.py:26-113 effective values)."""
+
+    # === training ===
+    num_iterations: int = 7000        # config.py:30
+    num_points: int = 5000            # config.py:31 (initial count)
+    save_interval: int = 500          # config.py:32
+
+    # === learning-rate schedule (config.py:36-43) ===
+    use_lr_scheduler: bool = True
+    lr_pos: float = 1e-2
+    lr_scale: float = 5e-3
+    lr_rot: float = 5e-3
+    lr_sh: float = 2e-3
+    lr_opac: float = 5e-3
+    final_lr_factor: float = 0.01
+
+    # === Adam (config.py:46-48) ===
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+
+    # === densification & pruning ===
+    densification_interval: int = 100   # config.py:51
+    opacity_reset_interval: int = 3000  # config.py:53
+    densify_grad_threshold: float = 2e-4  # config.py:54
+    cull_opacity_threshold: float = 0.005  # config.py:55
+    percent_dense: float = 0.01         # config.py:58
+    max_allowed_prune_ratio: float = 1.0  # config.py:59 (key exists -> 1.0 wins
+    #                                       over the .get default at train.py:646)
+    densify_from_iter: int = 500        # .get default, train.py:385
+    densify_until_iter: int = 15000     # .get default, train.py:386
+    min_valid_points: int = 1000        # .get default, train.py:644
+    max_valid_points: int = 1_000_000   # .get default, train.py:645
+    camera_extent_factor: float = 1.0   # .get default, train.py:256
+    clone_noise_scale: float = 0.01     # train.py:461
+    split_scale_factor: float = 0.8     # train.py:528 (0.8)
+    split_n: int = 2                    # train.py:502
+    opacity_reset_value: float = 0.01   # train.py:709
+
+    # === gaussian parameters (config.py:62-64) ===
+    initial_scale: float = 0.1
+    scale_modifier: float = 1.0
+    sh_degree: int = 3
+    initial_opacity: float = 0.1        # train.py:66
+    initial_sh_dc: float = -0.007       # train.py:88
+    init_position_extent: float = 1.3   # train.py:53-55 ([-1.3, 1.3]^3 cube)
+
+    # === scene & rendering (config.py:67-70) ===
+    scene_scale: float = 1.0
+    background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    near: float = 0.01
+    far: float = 100.0
+
+    # === loss (config.py:73) ===
+    lambda_dssim: float = 0.0
+
+    # === capacity management (new, TPU fixed-shape design; SURVEY §7.2.2) ===
+    # Gaussian arrays are padded to a capacity; densification grows the count
+    # within capacity, and capacity growth is the only recompile event.
+    capacity_headroom: float = 1.5
+    pair_capacity_per_gaussian: float = 24.0  # initial pairs/gaussian estimate
+
+    seed: int = 42  # config.py:8
+
+    def replace(self, **kw) -> "GSConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,73 @@
+"""NeRF-synthetic dataset (transforms_{split}.json + PNG frames).
+
+Mirrors the reference loader semantics (train.py:265-334):
+- image dimensions read from the first frame,
+- focal from ``camera_angle_x``,
+- images normalized to [0, 1] and the alpha channel *dropped* with no
+  background compositing (Q10 — reference behavior on the black-background
+  default).
+
+Improvement over the reference (which re-reads the PNG from disk every
+training step, train.py:928-930): frames are decoded once and cached as uint8
+(memory-light), converted to f32 on demand.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from gstpu.utils.camera import load_nerf_cameras
+
+
+class NerfSyntheticDataset:
+    def __init__(self, dataset_path: str, split: str = "train",
+                 cache_images: bool = True,
+                 white_background: bool = False):
+        self.dataset_path = dataset_path
+        self.split = split
+        self.white_background = white_background
+        self.cameras, self.image_paths = load_nerf_cameras(dataset_path, split)
+        self._cache: Dict[int, np.ndarray] = {}
+        self._cache_enabled = cache_images
+
+    def __len__(self) -> int:
+        return len(self.cameras)
+
+    @property
+    def width(self) -> int:
+        return self.cameras[0]["width"]
+
+    @property
+    def height(self) -> int:
+        return self.cameras[0]["height"]
+
+    def _load_u8(self, idx: int) -> np.ndarray:
+        import imageio.v2 as imageio
+
+        img = imageio.imread(self.image_paths[idx])
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        return img
+
+    def image(self, idx: int) -> np.ndarray:
+        """(H, W, 3) float32 in [0, 1]."""
+        if self._cache_enabled and idx in self._cache:
+            u8 = self._cache[idx]
+        else:
+            u8 = self._load_u8(idx)
+            if self._cache_enabled:
+                self._cache[idx] = u8
+        img = u8.astype(np.float32) / 255.0
+        if img.shape[-1] == 4:
+            if self.white_background:
+                rgb, a = img[..., :3], img[..., 3:]
+                img = rgb * a + (1.0 - a)
+            else:
+                img = img[..., :3]  # reference: drop alpha (train.py:330-332)
+        return img
+
+    def camera(self, idx: int):
+        return self.cameras[idx]

@@ -1,0 +1,171 @@
+"""Adaptive densification: clone / split / prune under fixed capacity.
+
+Functional port of the reference policy (train.py:351-714 + the kernels in
+optimizer.py:143-416) to static shapes: the reference's
+mask → scan → host-readback → realloc → scatter sequence becomes masked
+scatters within a fixed-capacity array (SURVEY §7.2.2).  Appends that would
+exceed capacity are dropped and reported via ``DensifyStats.overflow`` — the
+trainer grows capacity (the only recompile event) and re-runs.
+
+Replicated reference behaviors (SURVEY §7.1):
+- Q4: densification thresholds use the *instantaneous* position gradients of
+  the current step (train.py:394-408), not an accumulated average.
+- Q5: any topology change resets the Adam moments (and grads) to zero
+  (train.py:474-476 etc.) — the caller does this when ``stats.changed``.
+- Q6: opacity reset sets ALL opacities to the reset value unconditionally
+  (optimizer.py:155-158), not min(op, value).
+- Q14 (new): the reference launches ``mark_split_candidates`` over the
+  *post-clone* count while the gradient array still has the pre-clone size
+  (train.py:479-492) — an out-of-bounds read.  We define freshly cloned
+  Gaussians to have zero gradient (they never split in the same event).
+
+Split children: 2 per original, scales x 0.8, position jitter U(-0.01, 0.01);
+clone noise U(0, 0.01) (optimizer.py:285-309, 342-362); originals of splits
+are removed (train.py:544-619).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gstpu.config import GSConfig
+from gstpu.models.gaussians import GaussianModel
+
+
+class DensifyStats(NamedTuple):
+    changed: jnp.ndarray    # () bool — topology changed (reset Adam state)
+    n_cloned: jnp.ndarray   # () int32
+    n_split: jnp.ndarray    # () int32
+    n_pruned: jnp.ndarray   # () int32
+    overflow: jnp.ndarray   # () int32 — appends dropped for lack of capacity
+    n_alive: jnp.ndarray    # () int32 after the event
+
+
+def _append_masked(model: GaussianModel, mask, make_new, n_copies: int,
+                   key) -> tuple[GaussianModel, jnp.ndarray, jnp.ndarray]:
+    """Append ``n_copies`` derived Gaussians for every masked entry.
+
+    ``make_new(params_of_source, copy_index, key)`` returns the derived param
+    dict.  Returns (model, n_appended, overflow).
+    """
+    cap = model.capacity
+    cum = jnp.cumsum(mask.astype(jnp.int32))
+    total = cum[-1]
+    base = model.n_alive + (cum - 1) * n_copies
+    appended = 0
+    new = model
+    for c in range(n_copies):
+        target = jnp.where(mask, base + c, cap)  # cap == drop sentinel
+        derived = make_new(model.param_dict(), c,
+                           jax.random.fold_in(key, c))
+        updates = {}
+        for k, val in derived.items():
+            arr = getattr(new, k)
+            updates[k] = arr.at[target].set(val, mode="drop")
+        alive = new.alive.at[target].set(True, mode="drop")
+        new = new.replace(**updates, alive=alive)
+    want = total * n_copies
+    fits = jnp.minimum(want, cap - model.n_alive)
+    fits = jnp.maximum(fits, 0)
+    # number actually written: entries with base + c < cap
+    written = jnp.sum(jnp.where(mask, jnp.clip(cap - base, 0, n_copies), 0))
+    appended = written
+    new = new.replace(n_alive=model.n_alive + appended)
+    return new, appended, want - appended
+
+
+def compact(model: GaussianModel) -> GaussianModel:
+    """Stable-compact live Gaussians to the front (optimizer.py:384-416)."""
+    order = jnp.argsort(jnp.logical_not(model.alive), stable=True)
+    n_alive = jnp.sum(model.alive.astype(jnp.int32))
+
+    def take(x):
+        return jnp.take(x, order, axis=0)
+
+    return model.replace(
+        positions=take(model.positions), scales=take(model.scales),
+        rotations=take(model.rotations), opacities=take(model.opacities),
+        shs=take(model.shs), alive=take(model.alive), n_alive=n_alive)
+
+
+def densify_and_prune(model: GaussianModel, pos_grads: jnp.ndarray,
+                      scene_extent: float, config: GSConfig,
+                      key: jax.Array) -> tuple[GaussianModel, DensifyStats]:
+    """One densification event (train.py:392-693).  Jittable, static shapes."""
+    cap = model.capacity
+    grad_norms = jnp.linalg.norm(pos_grads, axis=-1) * model.alive
+    max_scale = jnp.max(model.scales, axis=-1)
+    scale_thresh = config.percent_dense * scene_extent
+    high_grad = grad_norms >= config.densify_grad_threshold
+
+    # --- step 1: clone small Gaussians (train.py:414-476) ---
+    clone_mask = model.alive & high_grad & (max_scale <= scale_thresh)
+    k_clone, k_split = jax.random.split(key)
+
+    def make_clone(p, _c, k):
+        noise = jax.random.uniform(k, p["positions"].shape, jnp.float32,
+                                   0.0, config.clone_noise_scale)
+        return {**p, "positions": p["positions"] + noise}
+
+    model1, n_cloned, ovf1 = _append_masked(model, clone_mask, make_clone, 1,
+                                            k_clone)
+
+    # --- step 2: split large Gaussians (train.py:478-619) ---
+    # Q14: clones have zero gradient, so the split mask equals the pre-clone
+    # mask over originals; clones (appended past the old n_alive) never split.
+    split_mask = model.alive & high_grad & (max_scale > scale_thresh)
+
+    def make_child(p, c, k):
+        jitter = jax.random.uniform(k, p["positions"].shape, jnp.float32,
+                                    -config.clone_noise_scale,
+                                    config.clone_noise_scale)
+        return {**p,
+                "positions": p["positions"] + jitter,
+                "scales": p["scales"] * config.split_scale_factor}
+
+    model2, n_children, ovf2 = _append_masked(model1, split_mask, make_child,
+                                              config.split_n, k_split)
+    # remove split originals, then compact (train.py:544-619)
+    model2 = model2.replace(alive=model2.alive & jnp.logical_not(split_mask))
+    model2 = compact(model2)
+
+    # --- step 3: prune by opacity with guards (train.py:621-693) ---
+    keep = model2.alive & (model2.opacities > config.cull_opacity_threshold)
+    valid_count = jnp.sum(keep.astype(jnp.int32))
+    num_points = model2.n_alive
+    prune_count = num_points - valid_count
+    prune_ratio = prune_count.astype(jnp.float32) / jnp.maximum(
+        num_points.astype(jnp.float32), 1.0)
+    do_prune = ((valid_count >= config.min_valid_points)
+                & (valid_count <= config.max_valid_points)
+                & (prune_ratio <= config.max_allowed_prune_ratio)
+                & (valid_count < num_points))
+    pruned_model = compact(model2.replace(alive=keep))
+    model3 = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            do_prune.reshape((-1,) + (1,) * (a.ndim - 1))[0]
+            if a.ndim else do_prune, a, b),
+        pruned_model, model2)
+    n_pruned = jnp.where(do_prune, prune_count, 0)
+
+    changed = (n_cloned > 0) | (n_children > 0) | (n_pruned > 0)
+    stats = DensifyStats(changed=changed, n_cloned=n_cloned,
+                         n_split=n_children, n_pruned=n_pruned,
+                         overflow=ovf1 + ovf2, n_alive=model3.n_alive)
+    return model3, stats
+
+
+def reset_opacities(model: GaussianModel, value: float) -> GaussianModel:
+    """Unconditional opacity reset (optimizer.py:143-158, Q6)."""
+    return model.replace(
+        opacities=jnp.where(model.alive, jnp.float32(value), model.opacities))
+
+
+def should_reset_opacity(config: GSConfig, iteration: int) -> bool:
+    """Opacity-reset trigger (train.py:696-701)."""
+    white = all(c == 1.0 for c in config.background_color)
+    return (iteration % config.opacity_reset_interval == 0
+            or (white and iteration == config.densify_from_iter))

@@ -1,0 +1,109 @@
+"""Image losses: L1, SSIM (with gradient), depth loss, PSNR.
+
+Reference surface: loss.py.  Parity notes:
+- L1 normalizes by H*W*3 (loss.py:174) — identical to ``jnp.mean(|diff|)``;
+- the pixel gradient is ``sign(r - t) * (1 - λ) / (H*W*3)`` (loss.py:121-146);
+- the reference defines SSIM but never uses it (λ_dssim = 0, train.py:967-974)
+  and never implemented its gradient (loss.py:243 TODO).  We implement the
+  official-3DGS 11x11 σ=1.5 separable-window SSIM *differentiably*, closing
+  that gap for the standard training recipe;
+- depth loss (loss.py:247-303) defined-but-unused in the reference; provided.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+SSIM_C1 = 0.01 ** 2
+SSIM_C2 = 0.03 ** 2
+SSIM_WINDOW = 11
+SSIM_SIGMA = 1.5
+
+
+def l1_loss(rendered: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Mean absolute error over all pixels and channels (loss.py:148-176)."""
+    return jnp.mean(jnp.abs(rendered - target))
+
+
+def l1_pixel_gradients(rendered: jnp.ndarray, target: jnp.ndarray,
+                       lambda_dssim: float = 0.0) -> jnp.ndarray:
+    """dL/dpixel of the (1-λ)·L1 term (loss.py:121-146, 217-244)."""
+    h, w = rendered.shape[0], rendered.shape[1]
+    weight = (1.0 - lambda_dssim) / (h * w * 3.0)
+    return weight * jnp.sign(rendered - target)
+
+
+def _gaussian_window(size: int = SSIM_WINDOW, sigma: float = SSIM_SIGMA):
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+    return g / jnp.sum(g)
+
+
+def _filter2d_separable(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2D filter on (H, W, C), 'same' padding."""
+    k = window.shape[0]
+    pad = k // 2
+    x = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)), mode="constant")
+    x = jnp.moveaxis(x, -1, 0)  # (C, H+2p, W)
+
+    # Correlate rows then columns with the 1D window (unrolled taps fuse well).
+    def corr1d(a, axis):
+        a = jnp.moveaxis(a, axis, -1)
+        n = a.shape[-1]
+        out = jnp.zeros(a.shape[:-1] + (n - k + 1,), a.dtype)
+        for i in range(k):
+            out = out + window[i] * a[..., i:i + n - k + 1]
+        return jnp.moveaxis(out, -1, axis)
+
+    y = corr1d(x, axis=1)           # vertical
+    y = jnp.pad(y, ((0, 0), (0, 0), (pad, pad)), mode="constant")
+    y = corr1d(y, axis=2)           # horizontal
+    return jnp.moveaxis(y, 0, -1)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def ssim(rendered: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable SSIM, official-3DGS style (11x11 Gaussian window).
+
+    Uniform-padded convolutions; mean over pixels and channels.  This is the
+    standard recipe the reference's unused ssim_kernel approximates
+    (loss.py:33-119).
+    """
+    win = _gaussian_window()
+    mu1 = _filter2d_separable(rendered, win)
+    mu2 = _filter2d_separable(target, win)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu12 = mu1 * mu2
+    sigma1 = _filter2d_separable(rendered * rendered, win) - mu1_sq
+    sigma2 = _filter2d_separable(target * target, win) - mu2_sq
+    sigma12 = _filter2d_separable(rendered * target, win) - mu12
+    num = (2.0 * mu12 + SSIM_C1) * (2.0 * sigma12 + SSIM_C2)
+    den = (mu1_sq + mu2_sq + SSIM_C1) * (sigma1 + sigma2 + SSIM_C2)
+    return jnp.mean(num / den)
+
+
+def combined_loss(rendered: jnp.ndarray, target: jnp.ndarray,
+                  lambda_dssim: float = 0.0) -> jnp.ndarray:
+    """(1-λ)·L1 + λ·(1-SSIM) — the official 3DGS objective (train.py:967-974,
+    commented out in the reference; active when λ > 0)."""
+    l1 = l1_loss(rendered, target)
+    if lambda_dssim == 0.0:
+        return l1
+    return (1.0 - lambda_dssim) * l1 + lambda_dssim * (1.0 - ssim(rendered, target))
+
+
+def depth_loss(rendered_inv_depth: jnp.ndarray, target_inv_depth: jnp.ndarray,
+               mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked L1 on inverse depth (loss.py:247-303); mean over all pixels."""
+    diff = jnp.abs(rendered_inv_depth - target_inv_depth) * mask
+    return jnp.sum(diff) / (rendered_inv_depth.shape[0] * rendered_inv_depth.shape[1])
+
+
+def psnr(rendered: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """PSNR in dB for [0,1] images (new: the reference never evaluates it)."""
+    mse = jnp.mean((rendered - target) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))

@@ -1,0 +1,171 @@
+"""Pure per-Gaussian math used by the preprocess stage.
+
+All functions are vectorized over the leading N axis (the reference runs one
+thread per Gaussian; on TPU the whole batch is one fused elementwise program on
+the VPU).  Formula provenance is cited per-function against the reference.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gstpu.config import TILE_X, TILE_Y
+
+# Spherical-harmonics constants (reference forward.py:44-45, 330-344).
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+         -1.0925484305920792, 0.5462742152960396)
+SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+         0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+         -0.5900435899266435)
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (x, y, z, w) -> rotation matrix, batched (N,4)->(N,3,3).
+
+    Matches ``wp.quat_to_matrix(wp.quaternion(rot[0..3]))`` used by the
+    reference (forward.py:177) — note the (x, y, z, w) component order (the
+    parity trap Q1 of SURVEY §7.1).
+    """
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    return jnp.stack(
+        [jnp.stack([r00, r01, r02], -1),
+         jnp.stack([r10, r11, r12], -1),
+         jnp.stack([r20, r21, r22], -1)], axis=-2)
+
+
+def compute_cov3d(scales: jnp.ndarray, scale_modifier: float,
+                  rotations: jnp.ndarray) -> jnp.ndarray:
+    """3D covariance Σ = (R·S)(R·S)^T, packed upper triangle.
+
+    Reference forward.py:146-186: S = diag(scale_modifier * s), R from the
+    (x,y,z,w) quaternion, M = R @ S, Σ = M Mᵀ; returns the packed
+    (σ00, σ01, σ02, σ11, σ12, σ22) layout (VEC6).
+    """
+    R = quat_to_rotmat(rotations)                       # (N,3,3)
+    s = scale_modifier * scales                         # (N,3)
+    M = R * s[..., None, :]                             # R @ diag(s)
+    sigma = M @ jnp.swapaxes(M, -1, -2)                 # (N,3,3)
+    return jnp.stack([sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
+                      sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]],
+                     axis=-1)
+
+
+def unpack_cov3d(cov6: jnp.ndarray) -> jnp.ndarray:
+    """Packed (σ00,σ01,σ02,σ11,σ12,σ22) -> symmetric (N,3,3)."""
+    c0, c1, c2, c3, c4, c5 = (cov6[..., i] for i in range(6))
+    return jnp.stack(
+        [jnp.stack([c0, c1, c2], -1),
+         jnp.stack([c1, c3, c4], -1),
+         jnp.stack([c2, c4, c5], -1)], axis=-2)
+
+
+def compute_cov2d(means: jnp.ndarray, cov3d: jnp.ndarray, view: jnp.ndarray,
+                  tan_fovx: float, tan_fovy: float,
+                  width: float, height: float) -> jnp.ndarray:
+    """EWA projection of the 3D covariance onto the screen.
+
+    Reference forward.py:79-144.  Parity notes:
+    - points transform with the row-vector convention ``t = [p,1] @ view``;
+    - view-space x/y are clamped to ±1.3·tan_fov·z (forward.py:109-113);
+    - the projection uses ``T = J @ view[:3,:3]`` **as stored** (the stored
+      matrix is the transposed world-to-camera, so this multiplies by Rᵀ — a
+      reference behavior we replicate exactly; see Q12 in ops/preprocess_bwd).
+    Returns (σxx, σxy, σyy) per Gaussian, *without* the +0.3 blur.
+    """
+    p = jnp.concatenate([means, jnp.ones_like(means[..., :1])], axis=-1)
+    t = p @ view                                        # (N,4) row-vector
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tz = t[..., 2]
+    txtz = t[..., 0] / tz
+    tytz = t[..., 1] / tz
+    tx = jnp.clip(txtz, -limx, limx) * tz
+    ty = jnp.clip(tytz, -limy, limy) * tz
+
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
+    inv_tz = 1.0 / tz
+    J00 = focal_x * inv_tz
+    J11 = focal_y * inv_tz
+    J02 = -(focal_x * tx) * inv_tz * inv_tz
+    J12 = -(focal_y * ty) * inv_tz * inv_tz
+    zeros = jnp.zeros_like(J00)
+    J = jnp.stack(
+        [jnp.stack([J00, zeros, J02], -1),
+         jnp.stack([zeros, J11, J12], -1),
+         jnp.stack([zeros, zeros, zeros], -1)], axis=-2)  # (N,3,3)
+
+    W3 = view[:3, :3]                                    # as stored (= Rᵀ)
+    T = J @ W3                                           # (N,3,3)
+    V = unpack_cov3d(cov3d)
+    cov = T @ V @ jnp.swapaxes(T, -1, -2)                # Vᵀ=V (symmetric)
+    return jnp.stack([cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]], axis=-1)
+
+
+def eval_sh(shs: jnp.ndarray, dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """Evaluate real SH colors for unit view directions.
+
+    Reference forward.py:303-346 (hardcoded constants, +0.5 offset applied by
+    the caller).  ``shs``: (N, 16, 3); ``dirs``: (N, 3) unit vectors;
+    ``degree``: static Python int in [0, 3].
+    """
+    x = dirs[..., 0:1]
+    y = dirs[..., 1:2]
+    z = dirs[..., 2:3]
+    result = SH_C0 * shs[..., 0, :]
+    if degree > 0:
+        result = (result
+                  - SH_C1 * y * shs[..., 1, :]
+                  + SH_C1 * z * shs[..., 2, :]
+                  - SH_C1 * x * shs[..., 3, :])
+        if degree > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (result
+                      + SH_C2[0] * xy * shs[..., 4, :]
+                      + SH_C2[1] * yz * shs[..., 5, :]
+                      + SH_C2[2] * (2.0 * zz - xx - yy) * shs[..., 6, :]
+                      + SH_C2[3] * xz * shs[..., 7, :]
+                      + SH_C2[4] * (xx - yy) * shs[..., 8, :])
+            if degree > 2:
+                result = (result
+                          + SH_C3[0] * y * (3.0 * xx - yy) * shs[..., 9, :]
+                          + SH_C3[1] * xy * z * shs[..., 10, :]
+                          + SH_C3[2] * y * (4.0 * zz - xx - yy) * shs[..., 11, :]
+                          + SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * shs[..., 12, :]
+                          + SH_C3[4] * x * (4.0 * zz - xx - yy) * shs[..., 13, :]
+                          + SH_C3[5] * z * (xx - yy) * shs[..., 14, :]
+                          + SH_C3[6] * x * (xx - 3.0 * yy) * shs[..., 15, :])
+    return result
+
+
+def ndc2pix(v: jnp.ndarray, size: float) -> jnp.ndarray:
+    """NDC [-1,1] -> pixel coordinate (reference forward.py:59-61)."""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def get_rect(px: jnp.ndarray, py: jnp.ndarray, radius: jnp.ndarray,
+             grid_x: int, grid_y: int):
+    """Tile-rect covered by a splat, clamped to the grid.
+
+    Reference forward.py:63-76 — int casts truncate toward zero, then clamp to
+    [0, grid]; truncation and floor agree after clamping (negative values are
+    clamped to 0 either way).
+    Returns (rect_min_x, rect_min_y, rect_max_x, rect_max_y) int32 arrays.
+    """
+    rmin_x = jnp.clip(((px - radius) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((py - radius) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(((px + radius + TILE_X - 1.0) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rmax_y = jnp.clip(((py + radius + TILE_Y - 1.0) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    return rmin_x, rmin_y, rmax_x, rmax_y

@@ -1,0 +1,396 @@
+"""Tile-based alpha-compositing rasterizer (XLA path) with hand-written VJP.
+
+TPU-native reformulation of the reference's per-pixel sequential compositing
+loop (forward.py:384-515) and its reverse-replay backward (backward.py:558-706).
+
+Key idea — exact parallelization of the sequential front-to-back walk:
+with per-pair effective alphas ``α_i`` (zero where the reference ``continue``s:
+``power > 0`` or ``α < 1/255``), the running transmittance
+``P_i = Π_{j<=i} (1 - α_j)`` is monotone non-increasing, so the reference's
+early break at the first ``P_i < 1e-4`` (forward.py:486-488) is equivalent to
+the per-element mask ``P_i >= 1e-4``: a Gaussian contributes iff it passes its
+individual tests AND ``P_i >= 1e-4``.  Compositing then becomes
+cumprod + masked weighted sums — chunked ``lax.while_loop`` over the per-tile
+depth-sorted ranges, vectorized over all tiles and pixels at once.
+
+The backward avoids the reference's reverse walk + atomics
+(backward.py:633-706) entirely: the suffix color sums it reconstructs
+(``accum_rec``) equal ``(C_pre_bg - prefix_i(w c)) / (T_i^ex (1-α_i))``, so a
+single *forward-order* pass with running prefix sums produces identical
+gradients, and the atomic adds become masked scatter-adds (segment sums).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstpu.config import RenderSettings, TILE_PIXELS, TILE_X, TILE_Y
+from gstpu.ops import preprocess_bwd
+from gstpu.ops.binning import Pairs, build_pairs
+from gstpu.ops.preprocess import PreprocessOut, preprocess
+
+ALPHA_MIN = 1.0 / 255.0   # forward.py:481
+T_EPS = 1e-4              # forward.py:487
+ALPHA_MAX = 0.99          # forward.py:478
+
+
+class RenderAux(NamedTuple):
+    radii: jnp.ndarray       # (N,) int32
+    num_pairs: jnp.ndarray   # () int32 — overflow check vs pair_capacity
+    final_t: jnp.ndarray     # (T, 256) f32 final transmittance per pixel
+    n_contrib: jnp.ndarray   # (T, 256) int32
+    xy: jnp.ndarray          # (N, 2) projected means (densify stats use these)
+
+
+def _tile_pixel_coords(settings: RenderSettings, row0=0):
+    """(T_band, P) pixel-center coordinates for the rasterized tile band.
+
+    ``row0`` (traced) offsets the band's first tile row — used by the
+    tile-sharded multi-chip path where each device rasterizes its own band.
+    """
+    t = jnp.arange(settings.band_tiles, dtype=jnp.int32)
+    tx = t % settings.grid_x
+    ty = t // settings.grid_x + row0
+    p = jnp.arange(TILE_PIXELS, dtype=jnp.int32)
+    lx = p % TILE_X
+    ly = p // TILE_X
+    pixf_x = (tx[:, None] * TILE_X + lx[None, :]).astype(jnp.float32)
+    pixf_y = (ty[:, None] * TILE_Y + ly[None, :]).astype(jnp.float32)
+    return pixf_x, pixf_y
+
+
+def clip_rect_to_band(rect, tiles_touched, row0, band_rows: int):
+    """Clip per-Gaussian tile rects to tile rows [row0, row0+band_rows).
+
+    Returns (rect_local, tiles_touched_local) where the local rect's y values
+    are band-relative.  With row0=0 and band_rows=grid_y this is the identity.
+    The multi-chip path uses it so each device only bins pairs for its own
+    tile band (the binning exchange of SURVEY §2.8).
+    """
+    rmin_x, rmin_y, rmax_x, rmax_y = (rect[:, i] for i in range(4))
+    lo = row0
+    hi = row0 + band_rows
+    rmin_yc = jnp.clip(rmin_y, lo, hi) - lo
+    rmax_yc = jnp.clip(rmax_y, lo, hi) - lo
+    tiles = (rmax_yc - rmin_yc) * (rmax_x - rmin_x)
+    tiles = jnp.where(tiles_touched > 0, tiles, 0)
+    rect_local = jnp.stack([rmin_x, rmin_yc, rmax_x, rmax_yc], axis=-1)
+    return rect_local, tiles
+
+
+def _chunk_pair_data(pairs: Pairs, chunk_idx, chunk: int):
+    """Gather one chunk of per-pair Gaussian data for every tile at once."""
+    k = pairs.gauss_id.shape[0]
+    j = jnp.arange(chunk, dtype=jnp.int32)
+    pos_in_tile = chunk_idx * chunk + j                      # (C,)
+    pair_idx = pairs.tile_start[:, None] + pos_in_tile[None, :]
+    pvalid = pos_in_tile[None, :] < pairs.tile_count[:, None]  # (T, C)
+    pair_idx = jnp.clip(pair_idx, 0, k - 1)
+    gid = pairs.gauss_id[pair_idx]                           # (T, C)
+    return gid, pvalid, pos_in_tile
+
+
+def _chunk_alpha(prep: PreprocessOut, gid, pvalid, pixf_x, pixf_y):
+    """Per-(tile, pixel, pair) alpha with the reference's individual skips."""
+    xy = prep.xy[gid]                                        # (T, C, 2)
+    con = prep.conic[gid]                                    # (T, C, 3)
+    op = prep.opacity[gid]                                   # (T, C)
+    dx = xy[:, None, :, 0] - pixf_x[:, :, None]              # (T, P, C)
+    dy = xy[:, None, :, 1] - pixf_y[:, :, None]
+    ca = con[:, None, :, 0]
+    cb = con[:, None, :, 1]
+    cc = con[:, None, :, 2]
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    g = jnp.exp(jnp.minimum(power, 0.0))
+    alpha = jnp.minimum(ALPHA_MAX, op[:, None, :] * g)
+    indiv = pvalid[:, None, :] & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    alpha_eff = jnp.where(indiv, alpha, 0.0)
+    return alpha_eff, indiv, g, dx, dy, (ca, cb, cc), op
+
+
+def composite_forward(prep: PreprocessOut, pairs: Pairs,
+                      settings: RenderSettings, static_chunks: int | None = None,
+                      row0=0):
+    """Front-to-back compositing over all tiles (forward.py:384-515).
+
+    Returns per-tile-pixel buffers: color (T,P,3) *before* background
+    compositing, inverse-depth (T,P), final transmittance (T,P), and
+    n_contrib (T,P).
+
+    ``static_chunks`` switches the dynamic ``while_loop`` (trip count = the
+    deepest tile) to a fixed-length ``scan`` — needed only when reverse-mode
+    autodiff must flow *through* this function (tests); production uses the
+    hand-written VJP instead.
+    """
+    num_tiles = settings.band_tiles
+    chunk = settings.chunk
+    pixf_x, pixf_y = _tile_pixel_coords(settings, row0)
+    # depth >= 0.2 for every visible Gaussian (near cull); 0 only for culled
+    # ones, which never appear in the pair list — guard anyway.
+    inv_depth = 1.0 / jnp.where(prep.depth == 0.0, 1.0, prep.depth)
+
+    n_chunks = jnp.max((pairs.tile_count + chunk - 1) // chunk)
+
+    def body(carry):
+        i, trans, color, dacc, last = carry
+        gid, pvalid, pos_in_tile = _chunk_pair_data(pairs, i, chunk)
+        alpha_eff, indiv, _, _, _, _, _ = _chunk_alpha(prep, gid, pvalid,
+                                                       pixf_x, pixf_y)
+        one_m = 1.0 - alpha_eff
+        p_incl = trans[:, :, None] * jnp.cumprod(one_m, axis=-1)   # (T,P,C)
+        t_ex = p_incl / one_m                                      # 1-α >= 0.01
+        kept = indiv & (p_incl >= T_EPS)
+        w = jnp.where(kept, alpha_eff * t_ex, 0.0)
+
+        col = prep.rgb[gid]                                        # (T,C,3)
+        color = color + jnp.einsum("tpc,tck->tpk", w, col)
+        dacc = dacc + jnp.sum(w * inv_depth[gid][:, None, :], axis=-1)
+
+        p_kept = jnp.where(kept, p_incl, jnp.inf)
+        p_last = jnp.min(p_kept, axis=-1)
+        trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
+
+        contrib_pos = jnp.where(kept, pos_in_tile[None, None, :] + 1, 0)
+        last = jnp.maximum(last, jnp.max(contrib_pos, axis=-1))
+        return i + 1, trans, color, dacc, last
+
+    def cond(carry):
+        return carry[0] < n_chunks
+
+    t = num_tiles
+    init = (jnp.int32(0),
+            jnp.ones((t, TILE_PIXELS), jnp.float32),
+            jnp.zeros((t, TILE_PIXELS, 3), jnp.float32),
+            jnp.zeros((t, TILE_PIXELS), jnp.float32),
+            jnp.zeros((t, TILE_PIXELS), jnp.int32))
+    if static_chunks is None:
+        _, trans, color, dacc, last = jax.lax.while_loop(cond, body, init)
+    else:
+        carry = init
+        carry, _ = jax.lax.scan(lambda c, _: (body(c), None), carry,
+                                None, length=static_chunks)
+        _, trans, color, dacc, last = carry
+    return color, dacc, trans, last
+
+
+def composite_backward(prep: PreprocessOut, pairs: Pairs,
+                       settings: RenderSettings,
+                       color_pre_bg, final_t, dl_dpix, bg, row0=0):
+    """Adjoint of compositing (backward.py:558-706), forward-order pass.
+
+    ``dl_dpix``: (T, P, 3) pixel-color cotangents.  Returns per-Gaussian
+    gradients (dL_dcolor (N,3), dL_dmean2d_ndc (N,2), dL_dconic (N,3),
+    dL_dopacity (N,)).  ``dL_dmean2d_ndc`` carries the reference's
+    ``ddelx_dx = 0.5 * W`` NDC scaling (backward.py:631-632).
+    """
+    n = prep.xy.shape[0]
+    chunk = settings.chunk
+    pixf_x, pixf_y = _tile_pixel_coords(settings, row0)
+
+    ctot_dot = jnp.sum(color_pre_bg * dl_dpix, axis=-1)          # (T,P)
+    bg_dot = jnp.sum(bg[None, None, :] * dl_dpix, axis=-1)       # (T,P)
+    ddelx_dx = 0.5 * settings.width
+    ddely_dy = 0.5 * settings.height
+
+    n_chunks = jnp.max((pairs.tile_count + chunk - 1) // chunk)
+
+    def body(carry):
+        (i, trans, prefix_u, d_color, d_mean2d, d_conic, d_opac) = carry
+        gid, pvalid, _ = _chunk_pair_data(pairs, i, chunk)
+        alpha_eff, indiv, g, dx, dy, (ca, cb, cc), op = _chunk_alpha(
+            prep, gid, pvalid, pixf_x, pixf_y)
+        one_m = 1.0 - alpha_eff
+        p_incl = trans[:, :, None] * jnp.cumprod(one_m, axis=-1)
+        t_ex = p_incl / one_m
+        kept = indiv & (p_incl >= T_EPS)
+        w = jnp.where(kept, alpha_eff * t_ex, 0.0)
+
+        col = prep.rgb[gid]                                      # (T,C,3)
+        cdot = jnp.einsum("tck,tpk->tpc", col, dl_dpix)          # (T,P,C)
+        u = w * cdot
+        prefix_u_incl = prefix_u[:, :, None] + jnp.cumsum(u, axis=-1)
+
+        inv_one_m = 1.0 / one_m
+        dl_dalpha = (cdot * t_ex
+                     - (ctot_dot[:, :, None] - prefix_u_incl) * inv_one_m
+                     - (final_t[:, :, None] * inv_one_m) * bg_dot[:, :, None])
+        dl_dalpha = jnp.where(kept, dl_dalpha, 0.0)
+
+        # per-pair grads summed over pixels
+        d_color_pair = jnp.einsum("tpc,tpk->tck", w, dl_dpix)    # (T,C,3)
+        dl_dg = op[:, None, :] * dl_dalpha                       # (T,P,C)
+        gdx = g * dx
+        gdy = g * dy
+        dg_ddelx = -gdx * ca - gdy * cb
+        dg_ddely = -gdy * cc - gdx * cb
+        d_mx = jnp.sum(dl_dg * dg_ddelx, axis=1) * ddelx_dx      # (T,C)
+        d_my = jnp.sum(dl_dg * dg_ddely, axis=1) * ddely_dy
+        d_ca = jnp.sum(-0.5 * gdx * dx * dl_dg, axis=1)
+        d_cb = jnp.sum(-0.5 * gdx * dy * dl_dg, axis=1)
+        d_cc = jnp.sum(-0.5 * gdy * dy * dl_dg, axis=1)
+        d_op = jnp.sum(jnp.where(kept, g, 0.0) * dl_dalpha, axis=1)
+
+        anyk = jnp.any(kept, axis=1)                             # (T,C)
+        gid_s = jnp.where(anyk, gid, n)  # scatter dead pairs out of range
+        d_color = d_color.at[gid_s].add(d_color_pair, mode="drop")
+        d_mean2d = d_mean2d.at[gid_s].add(
+            jnp.stack([d_mx, d_my], axis=-1), mode="drop")
+        d_conic = d_conic.at[gid_s].add(
+            jnp.stack([d_ca, d_cb, d_cc], axis=-1), mode="drop")
+        d_opac = d_opac.at[gid_s].add(d_op, mode="drop")
+
+        # carry updates (identical to forward)
+        p_kept = jnp.where(kept, p_incl, jnp.inf)
+        p_last = jnp.min(p_kept, axis=-1)
+        trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
+        prefix_u = prefix_u + jnp.sum(u, axis=-1)
+        return (i + 1, trans, prefix_u, d_color, d_mean2d, d_conic, d_opac)
+
+    def cond(carry):
+        return carry[0] < n_chunks
+
+    t = settings.band_tiles
+    init = (jnp.int32(0),
+            jnp.ones((t, TILE_PIXELS), jnp.float32),
+            jnp.zeros((t, TILE_PIXELS), jnp.float32),
+            jnp.zeros((n, 3), jnp.float32),
+            jnp.zeros((n, 2), jnp.float32),
+            jnp.zeros((n, 3), jnp.float32),
+            jnp.zeros((n,), jnp.float32))
+    out = jax.lax.while_loop(cond, body, init)
+    return out[3], out[4], out[5], out[6]
+
+
+def tiles_to_image(tiled: jnp.ndarray, settings: RenderSettings) -> jnp.ndarray:
+    """(T_band, 256, ...) tile-pixel layout -> (rows*16, W, ...) image.
+
+    For a full-grid render this crops to (H, W); a band render returns the
+    uncropped band (the sharded caller assembles and crops).
+    """
+    gx = settings.grid_x
+    gy = settings.band_rows
+    trailing = tiled.shape[2:]
+    img = tiled.reshape((gy, gx, TILE_Y, TILE_X) + trailing)
+    img = jnp.swapaxes(img, 1, 2).reshape((gy * TILE_Y, gx * TILE_X) + trailing)
+    if settings.tile_rows is None:
+        return img[:settings.height, :settings.width]
+    return img[:, :settings.width]
+
+
+def image_to_tiles(img: jnp.ndarray, settings: RenderSettings) -> jnp.ndarray:
+    """(H_band, W, ...) -> (T_band, 256, ...), zero-padded to the tile grid."""
+    gx, gy = settings.grid_x, settings.band_rows
+    trailing = img.shape[2:]
+    pad_h = gy * TILE_Y - img.shape[0]
+    pad_w = gx * TILE_X - img.shape[1]
+    img = jnp.pad(img, [(0, pad_h), (0, pad_w)] + [(0, 0)] * len(trailing))
+    img = img.reshape((gy, TILE_Y, gx, TILE_X) + trailing)
+    img = jnp.swapaxes(img, 1, 2).reshape((gy * gx, TILE_PIXELS) + trailing)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Full differentiable render with hand-written VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def render(settings: RenderSettings, tan_fovx: float, tan_fovy: float,
+           scale_modifier: float, means, scales, rotations, opacities, shs,
+           view, proj, campos, bg, alive, row0):
+    """Differentiable render: returns (image (H,W,3), depth (H,W), aux).
+
+    Drop-in functional equivalent of the reference's
+    ``render_gaussians`` + ``backward`` pair (forward.py:629-894,
+    backward.py:955-1196), as one jittable custom-VJP function.
+    ``alive`` is an (N,) bool mask for capacity padding (all-True/None =
+    reference behavior).  ``row0`` (int32 scalar) is the first tile row of the
+    rasterized band (0 for a full-image render; the tile-sharded multi-chip
+    path passes each device's band offset).
+    """
+    out, _ = _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
+                         means, scales, rotations, opacities, shs,
+                         view, proj, campos, bg, alive, row0)
+    return out
+
+
+def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
+                means, scales, rotations, opacities, shs,
+                view, proj, campos, bg, alive, row0):
+    prep = preprocess(means, scales, rotations, opacities, shs,
+                      view, proj, campos, settings.width, settings.height,
+                      tan_fovx, tan_fovy, settings.grid_x, settings.grid_y,
+                      settings.sh_degree, scale_modifier=scale_modifier,
+                      alive=alive)
+    rect_band, tiles_band = clip_rect_to_band(prep.rect, prep.tiles_touched,
+                                              row0, settings.band_rows)
+    pairs = build_pairs(tiles_band, rect_band, prep.depth,
+                        settings.grid_x, settings.band_tiles,
+                        settings.pair_capacity)
+    if settings.use_pallas:
+        from gstpu.ops import pallas_rasterize
+        color, dacc, final_t, n_contrib = pallas_rasterize.composite_forward(
+            prep, pairs, settings, row0=row0)
+    else:
+        color, dacc, final_t, n_contrib = composite_forward(
+            prep, pairs, settings, row0=row0)
+
+    image_tiles = color + final_t[:, :, None] * bg[None, None, :]
+    image = tiles_to_image(image_tiles, settings)
+    depth = tiles_to_image(dacc, settings)
+    aux = RenderAux(radii=prep.radii, num_pairs=pairs.num_pairs,
+                    final_t=final_t, n_contrib=n_contrib, xy=prep.xy)
+    residuals = (prep, pairs, color, final_t, means, scales, rotations, shs,
+                 view, proj, campos, bg, alive, row0)
+    return (image, depth, aux), residuals
+
+
+def _render_bwd(settings, tan_fovx, tan_fovy, scale_modifier,
+                residuals, cotangents):
+    (prep, pairs, color, final_t, means, scales, rotations, shs,
+     view, proj, campos, bg, alive, row0) = residuals
+    ct_image, ct_depth, _ = cotangents
+    del ct_depth  # no depth-gradient path in the reference (loss.py:243 TODO)
+
+    dl_dpix = image_to_tiles(ct_image, settings)
+    if settings.use_pallas:
+        from gstpu.ops import pallas_rasterize
+        d_color, d_mean2d, d_conic, d_opac = pallas_rasterize.composite_backward(
+            prep, pairs, settings, color, final_t, dl_dpix, bg, row0=row0)
+    else:
+        d_color, d_mean2d, d_conic, d_opac = composite_backward(
+            prep, pairs, settings, color, final_t, dl_dpix, bg, row0=row0)
+
+    focal_x = settings.width / (2.0 * tan_fovx)
+    focal_y = settings.height / (2.0 * tan_fovy)
+
+    # Preprocess adjoint chain: cov2d -> projection -> SH -> cov3d, with
+    # dL_dmeans accumulated from three sources (backward.py:810-886).
+    dmean_cov, dcov3d = preprocess_bwd.cov2d_backward(
+        means, prep.cov3d, prep.radii, focal_x, focal_y, tan_fovx, tan_fovy,
+        view, d_conic, parity=settings.parity,
+        translation_bias=settings.grad_bias_parity)
+    dmean_proj = preprocess_bwd.projection_backward(
+        means, prep.radii, proj, d_mean2d)
+    dsh, dmean_sh = preprocess_bwd.sh_backward(
+        means, shs, prep.radii, campos, prep.clamped, d_color,
+        settings.sh_degree)
+    dscale, drot = preprocess_bwd.cov3d_backward(
+        scales, rotations, prep.radii, scale_modifier, dcov3d,
+        parity=settings.parity)
+    dmean = dmean_cov + dmean_proj + dmean_sh
+
+    zeros_like = jax.tree_util.tree_map(jnp.zeros_like,
+                                        (view, proj, campos, bg))
+    # `alive` (bool mask or None) and `row0` (int32) carry float0 cotangents.
+    d_alive, d_row0 = jax.tree_util.tree_map(
+        lambda x: np.zeros(jnp.shape(x), jax.dtypes.float0), (alive, row0))
+    return (dmean, dscale, drot, d_opac, dsh) + zeros_like + (d_alive, d_row0)
+
+
+render.defvjp(_render_fwd, _render_bwd)

@@ -1,0 +1,150 @@
+"""Sharded render / train step over a (data, model) mesh via shard_map.
+
+Parallel decomposition (net-new vs the reference, which is single-device —
+SURVEY §2.8):
+
+- **parameters & Adam state** are sharded over ``model`` (axis 0 of every
+  parameter array);
+- **forward**: each device ``all_gather``s the parameters over ``model``
+  (rides ICI), preprocesses all Gaussians, then builds pairs and rasterizes
+  ONLY its own band of tile rows (``row0 = axis_index('model') * band_rows``)
+  — the tile/pixel axis is the "sequence parallel" analog (SURVEY §5);
+- **loss**: per-band partial L1 sums, ``psum`` over ('data', 'model');
+- **backward**: the vjp of the all_gather is automatically a
+  ``psum_scatter`` — the reduce-scatter of duplicated-Gaussian gradients the
+  north-star asks for; camera-batch gradients are ``psum``'d over ``data``;
+- **optimizer**: fused Adam runs on each shard independently (state sharded
+  with parameters).
+
+Batched multi-camera steps (one camera per data-group) are a new capability —
+the reference trains one camera per step (train.py:928).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gstpu.config import GSConfig, RenderSettings, TILE_Y
+from gstpu.optim import AdamState, adam_step, schedule_lrs
+from gstpu.ops.rasterize import render
+
+
+def band_settings(settings: RenderSettings, n_model: int) -> RenderSettings:
+    """Per-device settings: each device rasterizes grid_y/n_model tile rows."""
+    assert settings.grid_y % n_model == 0, (
+        f"grid_y={settings.grid_y} must divide over model axis {n_model}")
+    import dataclasses
+    return dataclasses.replace(settings, tile_rows=settings.grid_y // n_model)
+
+
+def _gather_params(p_shard):
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.all_gather(x, "model", axis=0, tiled=True), p_shard)
+
+
+def make_sharded_render(settings: RenderSettings, mesh: Mesh,
+                        tan_fovx: float, tan_fovy: float,
+                        scale_modifier: float = 1.0):
+    """Multi-device render: returns fn(params_shard, alive_shard, view, proj,
+    campos, bg) -> full (H, W, 3) image (replicated)."""
+    n_model = mesh.shape["model"]
+    bset = band_settings(settings, n_model)
+    band_rows = bset.band_rows
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("model"), P("model"), P(), P(), P(), P()),
+        out_specs=P("model"), check_vma=False)
+    def _render(p_shard, alive_shard, view, proj, campos, bg):
+        row0 = jax.lax.axis_index("model") * band_rows
+        p = _gather_params(p_shard)
+        alive = jax.lax.all_gather(alive_shard, "model", axis=0, tiled=True)
+        image_band, _, _ = render(
+            bset, tan_fovx, tan_fovy, scale_modifier,
+            p["positions"], p["scales"], p["rotations"], p["opacities"],
+            p["shs"], view, proj, campos, bg, alive, row0)
+        return image_band  # bands concatenate over rows (out_specs axis 0)
+
+    def run(params_shard, alive_shard, view, proj, campos, bg):
+        img = _render(params_shard, alive_shard, view, proj, campos, bg)
+        return img[:settings.height, :settings.width]
+
+    return run
+
+
+def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
+                            mesh: Mesh, tan_fovx: float, tan_fovy: float):
+    """Multi-device train step.
+
+    Returns fn(params_shard, adam_shard, alive_shard, views (B,4,4),
+    projs (B,4,4), camposes (B,3), targets (B,H',W,3), iteration) ->
+    (new_params_shard, new_adam_shard, loss, pos_grads_shard, num_pairs_max)
+
+    ``B`` must equal the data-axis size; targets must be padded to the tile
+    grid height H' = grid_y*16.
+    """
+    n_model = mesh.shape["model"]
+    n_data = mesh.shape["data"]
+    bset = band_settings(settings, n_model)
+    band_rows = bset.band_rows
+    bg = jnp.asarray(config.background_color, jnp.float32)
+    height, width = settings.height, settings.width
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("model"), P("model"),
+                  P("model"), P("data"), P("data"), P("data"),
+                  P("data", "model"), P()),
+        out_specs=(P("model"), P("model"), P(), P("model"), P()),
+        check_vma=False)
+    def _step(p_shard, adam_shard, alive_shard, view, proj, campos,
+              target_band, iteration):
+        row0 = jax.lax.axis_index("model") * band_rows
+        view = view[0]
+        proj = proj[0]
+        campos = campos[0]
+        target_band = target_band[0]                      # (band_h, W, 3)
+        alive = jax.lax.all_gather(alive_shard, "model", axis=0, tiled=True)
+
+        def loss_fn(ps):
+            p = _gather_params(ps)
+            image_band, _, aux = render(
+                bset, tan_fovx, tan_fovy, config.scale_modifier,
+                p["positions"], p["scales"], p["rotations"], p["opacities"],
+                p["shs"], view, proj, campos, bg, alive, row0)
+            # mask rows beyond the true image height (tile-grid padding)
+            rows = row0 * TILE_Y + jnp.arange(image_band.shape[0])
+            mask = (rows < height)[:, None, None]
+            # LOCAL partial sum only — collectives are applied to the grads
+            # outside the differentiation (differentiating through psum under
+            # manual sharding scales cotangents by the axis size).
+            partial = jnp.sum(jnp.abs(image_band - target_band) * mask)
+            return partial, aux
+
+        norm = n_data * height * width * 3.0
+        (partial, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p_shard)
+        loss = jax.lax.psum(partial, ("data", "model")) / norm
+        # all_gather's vjp already reduce-scattered band contributions over
+        # 'model'; sum the camera batch over 'data' and normalize like loss:
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, "data") / norm, grads)
+        lrs = schedule_lrs(config, iteration)
+        new_p, new_adam = adam_step(p_shard, grads, adam_shard, lrs,
+                                    iteration, config, alive=alive_shard)
+        num_pairs = jax.lax.pmax(jax.lax.pmax(aux.num_pairs, "model"), "data")
+        return new_p, new_adam, loss, grads["positions"], num_pairs
+
+    return _step
+
+
+def pad_targets_to_grid(targets: jnp.ndarray, settings: RenderSettings):
+    """(B, H, W, 3) -> (B, grid_y*16, W, 3) zero-padded."""
+    h_pad = settings.grid_y * TILE_Y - targets.shape[1]
+    if h_pad:
+        targets = jnp.pad(targets, ((0, 0), (0, h_pad), (0, 0), (0, 0)))
+    return targets

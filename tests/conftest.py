@@ -1,0 +1,28 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-host logic is validated without a pod by CPU mesh simulation (the
+standard JAX substitute for distributed tests; SURVEY §4).
+
+The container's ``sitecustomize`` registers a remote-TPU backend and pins the
+platform via ``jax.config`` before env vars are consulted, so we override
+through ``jax.config`` as well (before any backend is initialized).  Set
+``GSTPU_TEST_TPU=1`` to run the suite on the real chip instead.
+"""
+
+import os
+
+if os.environ.get("GSTPU_TEST_TPU") != "1":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the render custom-VJP graphs are expensive to
+# compile on CPU; cache them across pytest runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/gstpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

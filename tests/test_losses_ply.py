@@ -1,0 +1,100 @@
+"""Losses (L1 / SSIM / PSNR / depth) and PLY round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstpu.ops.losses import (combined_loss, depth_loss, l1_loss,
+                              l1_pixel_gradients, psnr, ssim)
+from gstpu.utils.ply import load_ply, save_ply
+
+
+def test_l1_matches_reference_normalization():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (32, 24, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (32, 24, 3)).astype(np.float32)
+    # reference: sum of per-pixel channel |diff| / (W*H*3) (loss.py:148-176)
+    want = np.sum(np.abs(a - b)) / (32 * 24 * 3)
+    got = float(l1_loss(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(got - want) < 1e-6
+
+
+def test_l1_pixel_gradients_are_grad_of_l1():
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    analytic = np.asarray(l1_pixel_gradients(jnp.asarray(a), jnp.asarray(b)))
+    auto = np.asarray(jax.grad(lambda x: l1_loss(x, jnp.asarray(b)))(
+        jnp.asarray(a)))
+    np.testing.assert_allclose(analytic, auto, atol=1e-8)
+
+
+def test_ssim_properties():
+    rng = np.random.default_rng(2)
+    a = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    assert float(ssim(jnp.asarray(a), jnp.asarray(a))) > 0.999
+    b = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    s = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert -1.0 <= s < 0.9
+    # differentiable
+    g = jax.grad(lambda x: ssim(x, jnp.asarray(b)))(jnp.asarray(a))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_combined_loss_lambda():
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+    l1 = float(l1_loss(a, b))
+    assert abs(float(combined_loss(a, b, 0.0)) - l1) < 1e-7
+    lam = 0.2
+    want = (1 - lam) * l1 + lam * (1 - float(ssim(a, b)))
+    assert abs(float(combined_loss(a, b, lam)) - want) < 1e-6
+
+
+def test_depth_loss_masked():
+    d1 = jnp.ones((8, 8)) * 2.0
+    d2 = jnp.ones((8, 8)) * 1.0
+    mask = jnp.zeros((8, 8)).at[:4].set(1.0)
+    # reference: sum(|diff| * mask) / (W*H) (loss.py:271-303)
+    assert abs(float(depth_loss(d1, d2, mask)) - (32 * 1.0) / 64) < 1e-6
+
+
+def test_psnr():
+    a = jnp.zeros((4, 4, 3))
+    b = jnp.full((4, 4, 3), 0.1)
+    assert abs(float(psnr(a, b)) - 20.0) < 1e-3
+
+
+def test_ply_round_trip(tmp_path):
+    rng = np.random.default_rng(4)
+    n = 17
+    params = {
+        "positions": rng.normal(0, 1, (n, 3)).astype(np.float32),
+        "scales": rng.uniform(0.01, 1, (n, 3)).astype(np.float32),
+        "rotations": rng.normal(0, 1, (n, 4)).astype(np.float32),
+        "opacities": rng.uniform(0, 1, n).astype(np.float32),
+        "shs": rng.normal(0, 0.3, (n, 16, 3)).astype(np.float32),
+    }
+    path = tmp_path / "pc.ply"
+    save_ply(params, path, n)
+    loaded = load_ply(path)
+    for k in params:
+        np.testing.assert_allclose(loaded[k], params[k], atol=1e-6, err_msg=k)
+
+
+def test_ply_header_matches_3dgs_schema(tmp_path):
+    params = {
+        "positions": np.zeros((2, 3), np.float32),
+        "scales": np.ones((2, 3), np.float32),
+        "rotations": np.tile([0, 0, 0, 1.0], (2, 1)).astype(np.float32),
+        "opacities": np.ones(2, np.float32),
+        "shs": np.zeros((2, 16, 3), np.float32),
+    }
+    path = tmp_path / "pc.ply"
+    save_ply(params, path, 2)
+    header = path.read_bytes().split(b"end_header")[0].decode()
+    for field in ["x", "y", "z", "scale_0", "opacity", "rot_x", "rot_w",
+                  "red", "green", "blue", "f_dc_0", "f_rest_0", "f_rest_44"]:
+        assert f" {field}" in header, field
+    assert "element vertex 2" in header

@@ -1,0 +1,133 @@
+"""Multi-device sharding on a virtual 8-device CPU mesh (SURVEY §4e):
+sharded render == single-device render; sharded train step == single-device
+gradients (modulo reduction order)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests import scenes
+
+from gstpu.config import GSConfig, RenderSettings
+from gstpu.optim import init_adam_state, schedule_lrs, adam_step
+from gstpu.ops.rasterize import render
+from gstpu.parallel import make_mesh, make_sharded_render, make_sharded_train_step
+from gstpu.parallel.sharded import pad_targets_to_grid
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+BG = np.zeros(3, np.float32)
+
+
+def _scene(seed=0, n=64):
+    rng = np.random.default_rng(seed)
+    cam = scenes.example_camera(width=64, height=64)  # grid_y=4
+    pts, shs, scales, rotations, opacities = scenes.random_scene(rng, n=n)
+    params = {"positions": jnp.asarray(pts), "scales": jnp.asarray(scales),
+              "rotations": jnp.asarray(rotations),
+              "opacities": jnp.asarray(opacities), "shs": jnp.asarray(shs)}
+    alive = jnp.ones(n, bool)
+    return cam, params, alive
+
+
+def test_sharded_render_matches_single_device():
+    cam, params, alive = _scene()
+    settings = RenderSettings(width=64, height=64, pair_capacity=1 << 13)
+    j = jnp.asarray
+
+    single, _, _ = render(settings, cam["tan_fovx"], cam["tan_fovy"], 1.0,
+                          params["positions"], params["scales"],
+                          params["rotations"], params["opacities"],
+                          params["shs"], j(cam["view"]), j(cam["proj"]),
+                          j(cam["campos"]), j(BG), alive, jnp.int32(0))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    run = make_sharded_render(settings, mesh, cam["tan_fovx"], cam["tan_fovy"])
+    img = run(params, alive, j(cam["view"]), j(cam["proj"]),
+              j(cam["campos"]), j(BG))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(single), atol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device_grads():
+    cam, params, alive = _scene(seed=1)
+    cfg = GSConfig()
+    settings = RenderSettings(width=64, height=64, pair_capacity=1 << 13)
+    j = jnp.asarray
+    rng = np.random.default_rng(2)
+    target = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+
+    # single-device reference grads (L1 loss)
+    def loss_fn(p):
+        img, _, _ = render(settings, cam["tan_fovx"], cam["tan_fovy"], 1.0,
+                           p["positions"], p["scales"], p["rotations"],
+                           p["opacities"], p["shs"], j(cam["view"]),
+                           j(cam["proj"]), j(cam["campos"]), j(BG), alive,
+                           jnp.int32(0))
+        return jnp.mean(jnp.abs(img - j(target)))
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    step = make_sharded_train_step(settings, cfg, mesh,
+                                   cam["tan_fovx"], cam["tan_fovy"])
+    adam = init_adam_state(params)
+    views = jnp.tile(j(cam["view"])[None], (2, 1, 1))
+    projs = jnp.tile(j(cam["proj"])[None], (2, 1, 1))
+    camposes = jnp.tile(j(cam["campos"])[None], (2, 1))
+    targets = pad_targets_to_grid(jnp.tile(j(target)[None], (2, 1, 1, 1)),
+                                  settings)
+    new_p, new_adam, loss, pos_grads, num_pairs = step(
+        params, adam, alive, views, projs, camposes, targets, jnp.int32(0))
+
+    # identical cameras on both data groups -> loss == single-device L1
+    assert abs(float(loss) - float(ref_loss)) < 1e-6
+    # grads: both data shards saw the same camera, so psum doubles them...
+    # no: loss is normalized by n_data, so grads match the single-camera case.
+    np.testing.assert_allclose(np.asarray(pos_grads),
+                               np.asarray(ref_grads["positions"]),
+                               atol=1e-6)
+
+    # the sharded Adam update equals the single-device Adam update
+    lrs = schedule_lrs(cfg, jnp.int32(0))
+    want_p, _ = adam_step(params, ref_grads, adam, lrs, jnp.int32(0), cfg,
+                          alive=alive)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(new_p[k]),
+                                   np.asarray(want_p[k]), atol=1e-6,
+                                   err_msg=k)
+
+
+def test_sharded_two_distinct_cameras_average():
+    """Data-parallel camera batching: loss is the mean over the batch."""
+    cam, params, alive = _scene(seed=3, n=32)
+    cfg = GSConfig()
+    settings = RenderSettings(width=64, height=64, pair_capacity=1 << 13)
+    j = jnp.asarray
+    rng = np.random.default_rng(4)
+    t1 = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    t2 = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+
+    def loss_for(t):
+        img, _, _ = render(settings, cam["tan_fovx"], cam["tan_fovy"], 1.0,
+                           params["positions"], params["scales"],
+                           params["rotations"], params["opacities"],
+                           params["shs"], j(cam["view"]), j(cam["proj"]),
+                           j(cam["campos"]), j(BG), alive, jnp.int32(0))
+        return jnp.mean(jnp.abs(img - j(t)))
+
+    want = (float(loss_for(t1)) + float(loss_for(t2))) / 2
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    step = make_sharded_train_step(settings, cfg, mesh,
+                                   cam["tan_fovx"], cam["tan_fovy"])
+    adam = init_adam_state(params)
+    views = jnp.tile(j(cam["view"])[None], (2, 1, 1))
+    projs = jnp.tile(j(cam["proj"])[None], (2, 1, 1))
+    camposes = jnp.tile(j(cam["campos"])[None], (2, 1))
+    targets = pad_targets_to_grid(
+        jnp.stack([j(t1), j(t2)]), settings)
+    _, _, loss, _, _ = step(params, adam, alive, views, projs, camposes,
+                            targets, jnp.int32(0))
+    assert abs(float(loss) - want) < 1e-6

@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Train a 3D Gaussian Splatting model on a NeRF-synthetic dataset.
+
+CLI mirror of the reference entry point (train.py:1069-1087):
+    python train.py --dataset ./data/lego --output ./output
+"""
+
+import argparse
+
+from gstpu.config import GSConfig
+from gstpu.trainer import Trainer
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Train 3D Gaussian Splatting (TPU-native)")
+    parser.add_argument("--dataset", type=str, default="./data/lego",
+                        help="NeRF dataset directory")
+    parser.add_argument("--output", type=str, default="./output")
+    parser.add_argument("--iterations", type=int, default=None)
+    parser.add_argument("--num-points", type=int, default=None)
+    parser.add_argument("--pallas", action="store_true",
+                        help="use the Pallas TPU rasterize kernels")
+    parser.add_argument("--resume", type=int, default=None,
+                        help="resume from checkpoint iteration")
+    args = parser.parse_args()
+
+    config = GSConfig()
+    if args.iterations is not None:
+        config = config.replace(num_iterations=args.iterations)
+    if args.num_points is not None:
+        config = config.replace(num_points=args.num_points)
+
+    trainer = Trainer(args.dataset, args.output, config,
+                      use_pallas=args.pallas)
+    if args.resume is not None:
+        trainer.restore(args.resume)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
