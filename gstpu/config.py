@@ -48,6 +48,8 @@ class RenderSettings:
     # Use the Pallas TPU kernels for the rasterize hot loops instead of the
     # pure-XLA path.
     use_pallas: bool = False
+    # Run the Pallas kernels in interpreter mode (CPU testing only).
+    pallas_interpret: bool = False
     # Rasterize only a band of `tile_rows` tile rows (None = the full grid).
     # The multi-chip path shards tile rows over the mesh: each device builds
     # this many rows starting at a traced row offset (ops/rasterize.py row0).

@@ -148,7 +148,8 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
         w = jnp.where(kept, alpha_eff * t_ex, 0.0)
 
         col = prep.rgb[gid]                                        # (T,C,3)
-        color = color + jnp.einsum("tpc,tck->tpk", w, col)
+        color = color + jnp.einsum("tpc,tck->tpk", w, col,
+                           precision=jax.lax.Precision.HIGHEST)
         dacc = dacc + jnp.sum(w * inv_depth[gid][:, None, :], axis=-1)
 
         p_kept = jnp.where(kept, p_incl, jnp.inf)
@@ -211,7 +212,8 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
         w = jnp.where(kept, alpha_eff * t_ex, 0.0)
 
         col = prep.rgb[gid]                                      # (T,C,3)
-        cdot = jnp.einsum("tck,tpk->tpc", col, dl_dpix)          # (T,P,C)
+        cdot = jnp.einsum("tck,tpk->tpc", col, dl_dpix,
+                  precision=jax.lax.Precision.HIGHEST)   # (T,P,C)
         u = w * cdot
         prefix_u_incl = prefix_u[:, :, None] + jnp.cumsum(u, axis=-1)
 
@@ -222,7 +224,8 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
         dl_dalpha = jnp.where(kept, dl_dalpha, 0.0)
 
         # per-pair grads summed over pixels
-        d_color_pair = jnp.einsum("tpc,tpk->tck", w, dl_dpix)    # (T,C,3)
+        d_color_pair = jnp.einsum("tpc,tpk->tck", w, dl_dpix,
+                          precision=jax.lax.Precision.HIGHEST)
         dl_dg = op[:, None, :] * dl_dalpha                       # (T,P,C)
         gdx = g * dx
         gdy = g * dy
@@ -335,7 +338,8 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
     if settings.use_pallas:
         from gstpu.ops import pallas_rasterize
         color, dacc, final_t, n_contrib = pallas_rasterize.composite_forward(
-            prep, pairs, settings, row0=row0)
+            prep, pairs, settings, row0=row0,
+            interpret=settings.pallas_interpret)
     else:
         color, dacc, final_t, n_contrib = composite_forward(
             prep, pairs, settings, row0=row0)
@@ -361,7 +365,8 @@ def _render_bwd(settings, tan_fovx, tan_fovy, scale_modifier,
     if settings.use_pallas:
         from gstpu.ops import pallas_rasterize
         d_color, d_mean2d, d_conic, d_opac = pallas_rasterize.composite_backward(
-            prep, pairs, settings, color, final_t, dl_dpix, bg, row0=row0)
+            prep, pairs, settings, color, final_t, dl_dpix, bg, row0=row0,
+            interpret=settings.pallas_interpret)
     else:
         d_color, d_mean2d, d_conic, d_opac = composite_backward(
             prep, pairs, settings, color, final_t, dl_dpix, bg, row0=row0)
