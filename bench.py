@@ -55,8 +55,10 @@ def main():
                 jnp.zeros(3, jnp.float32))
     target = j(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
 
+    # capacity: next power of two above the scene's actual pair count
+    # (413,741 — the training wrapper auto-sizes with 2x headroom the same way)
     settings = RenderSettings(width=WIDTH, height=HEIGHT,
-                              pair_capacity=1 << 21, use_pallas=use_pallas)
+                              pair_capacity=1 << 19, use_pallas=use_pallas)
 
     @jax.jit
     def fwd_bwd(means, scales_, rots, opac, shs_):

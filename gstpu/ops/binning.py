@@ -6,15 +6,23 @@ TPU-native replacement of the reference's dynamic pipeline
 - the host readback of ``num_rendered`` (forward.py:764) is eliminated by a
   static pair capacity with sentinel-key padding (SURVEY §7.2.1);
 - the scatter-style ``wp_duplicate_with_keys`` kernel (forward.py:517-558) is
-  replaced by a *gather* formulation — pair k finds its Gaussian with one
-  ``searchsorted`` into the inclusive prefix-sum of ``tiles_touched`` — so the
-  whole stage is sort + gathers, no scatters;
+  replaced by a *gather* formulation — pair k finds its Gaussian by rank in
+  the inclusive prefix-sum of ``tiles_touched``;
 - the 64-bit radix sort (forward.py:791-803) becomes a stable two-key
   ``jax.lax.sort`` on (tile_id, depth_bits): positive float32 depths order
   identically to their int32 bit patterns (depths pass the 0.2 near cull), so
   no 64-bit keys are needed;
 - ``wp_identify_tile_ranges`` (forward.py:560-586) becomes two
   ``searchsorted`` calls on the sorted tile ids.
+
+Performance note (TPU): ``jnp.searchsorted`` over K queries lowers to a
+sequential ``lax.scan`` of gathers (~100ms/M queries) and per-element gathers
+from small tables cost ~10ms/M, so the pair->gaussian rank and the run-local
+offsets are computed with scatter + ``cumsum``/``cummax`` instead — segment
+boundaries are scattered once (N or T elements) and broadcast down the K-sized
+axis by monotone scans, which are bandwidth-bound (~1.5ms/M).  Per-pair
+Gaussian attributes are fetched with ONE row gather from a packed (N, 8)
+table (row gathers are ~25x cheaper per element than scalar gathers).
 """
 
 from __future__ import annotations
@@ -31,6 +39,43 @@ class Pairs(NamedTuple):
     tile_start: jnp.ndarray  # (T,) int32 first pair index of each tile
     tile_count: jnp.ndarray  # (T,) int32 pairs in each tile
     num_pairs: jnp.ndarray   # () int32 total real pairs (may exceed K: overflow!)
+
+
+def segment_ids_from_offsets(offsets: jnp.ndarray, k: int) -> jnp.ndarray:
+    """seg[q] = #{i : offsets[i] <= q} for q in [0, k).
+
+    ``offsets`` must be non-decreasing (an inclusive-prefix-sum / CSR row
+    pointer).  Equivalent to ``searchsorted(offsets, arange(k), 'right')`` but
+    runs as one scatter + one cumsum instead of a sequential binary-search
+    scan (see module docstring).
+    """
+    hits = jnp.zeros((k,), jnp.int32).at[offsets].add(1, mode="drop")
+    return jnp.cumsum(hits)
+
+
+def run_starts(offsets: jnp.ndarray, k: int) -> jnp.ndarray:
+    """start[q] = largest offsets[i] <= q (0 if none), offsets non-decreasing.
+
+    The run-local index of slot q within its segment is ``q - start[q]``.
+    """
+    iota = jnp.arange(k, dtype=jnp.int32)
+    is_start = jnp.zeros((k,), jnp.int32).at[offsets].add(1, mode="drop") > 0
+    return jax.lax.cummax(jnp.where(is_start, iota, 0))
+
+
+def fill_by_offsets(offsets: jnp.ndarray, values: jnp.ndarray,
+                    k: int) -> jnp.ndarray:
+    """out[q] = values[seg(q)-1] forward-filled; out[q<offsets[0]] = 0.
+
+    Broadcasts per-segment int32 ``values`` down a K axis: scatter-add the
+    telescoped differences at each segment's start slot, then cumsum.
+    Duplicate offsets (empty segments) telescope correctly — the surviving
+    value is the last segment starting at that slot, which is the segment the
+    slots belong to.
+    """
+    diffs = jnp.concatenate([values[:1], values[1:] - values[:-1]])
+    seeded = jnp.zeros((k,), values.dtype).at[offsets].add(diffs, mode="drop")
+    return jnp.cumsum(seeded)
 
 
 def build_pairs(tiles_touched: jnp.ndarray, rect: jnp.ndarray,
@@ -51,20 +96,21 @@ def build_pairs(tiles_touched: jnp.ndarray, rect: jnp.ndarray,
 
     ks = jnp.arange(k, dtype=jnp.int32)
     # pair k belongs to the first gaussian g with cum[g] > k
-    g = jnp.searchsorted(cum, ks, side="right").astype(jnp.int32)
-    g = jnp.minimum(g, n - 1)
-    prev = jnp.where(g > 0, cum[jnp.maximum(g - 1, 0)], 0)
-    local = ks - prev                                  # rect-local flat index
+    g = jnp.minimum(segment_ids_from_offsets(cum, k), n - 1)
+    local = ks - run_starts(cum, k)                    # rect-local flat index
 
-    rmin_x = rect[g, 0]
-    rmin_y = rect[g, 1]
-    rect_w = jnp.maximum(rect[g, 2] - rmin_x, 1)
+    # one row gather for all per-Gaussian attributes this stage needs
+    table = jnp.stack([rect[:, 0], rect[:, 1], rect[:, 2],
+                       jax.lax.bitcast_convert_type(depth, jnp.int32)],
+                      axis=-1)                         # (N, 4)
+    rows = table[g]                                    # (K, 4) row gather
+    rmin_x, rmin_y = rows[:, 0], rows[:, 1]
+    rect_w = jnp.maximum(rows[:, 2] - rmin_x, 1)
     tile = (rmin_y + local // rect_w) * grid_x + rmin_x + local % rect_w
 
     valid = ks < total
     tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
-    depth_bits = jax.lax.bitcast_convert_type(depth[g], jnp.int32)
-    depth_bits = jnp.where(valid, depth_bits, jnp.int32(2**31 - 1))
+    depth_bits = jnp.where(valid, rows[:, 3], jnp.int32(2**31 - 1))
 
     tile_s, _, gauss_s = jax.lax.sort(
         (tile, depth_bits, g), num_keys=2, is_stable=True)

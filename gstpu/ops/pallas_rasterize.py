@@ -49,7 +49,14 @@ def _aligned_layout(pairs: Pairs, num_tiles: int):
     tile's range to CHUNK also makes every DMA a full-tile transfer.  Returns
     (aligned_start (T,), src (K',), valid (K',)) where K' = K + T*CHUNK
     (static) and src indexes the original sorted pair order.
+
+    Implemented scatter+scan style (binning.py module docstring): slot q's
+    tile-start and per-tile offsets are forward-filled down the K' axis by
+    ``cumsum``/``cummax`` from T-sized scatters — no searchsorted, no
+    per-slot gathers from the (T,) tables.
     """
+    from gstpu.ops.binning import fill_by_offsets, run_starts
+
     count = pairs.tile_count
     k = pairs.gauss_id.shape[0]
     acount = ((count + CHUNK - 1) // CHUNK) * CHUNK
@@ -57,28 +64,41 @@ def _aligned_layout(pairs: Pairs, num_tiles: int):
     astart = cum_incl - acount
     k_aligned = k + num_tiles * CHUNK
     q = jnp.arange(k_aligned, dtype=jnp.int32)
-    tile = jnp.searchsorted(cum_incl, q, side="right").astype(jnp.int32)
-    tile_c = jnp.minimum(tile, num_tiles - 1)
-    within = q - astart[tile_c]
-    src = pairs.tile_start[tile_c] + within
-    valid = (tile < num_tiles) & (within < count[tile_c])
+    within = q - run_starts(astart[1:], k_aligned)
+    # src = tile_start[tile] + within = q + (tile_start - astart)[tile]
+    src = q + fill_by_offsets(
+        jnp.concatenate([jnp.zeros(1, jnp.int32), astart[1:]]),
+        pairs.tile_start - astart, k_aligned)
+    count_q = fill_by_offsets(
+        jnp.concatenate([jnp.zeros(1, jnp.int32), astart[1:]]),
+        count, k_aligned)
+    valid = (q < cum_incl[num_tiles - 1]) & (within < count_q)
     src = jnp.clip(src, 0, k - 1)
     return astart.astype(jnp.int32), src, valid
 
 
 def _build_feat(prep: PreprocessOut, pairs: Pairs, src, valid) -> jnp.ndarray:
-    """Gather per-pair Gaussian features in aligned pair order -> (16, K')."""
-    gid = jnp.where(valid, pairs.gauss_id[src], 0)
+    """Gather per-pair Gaussian features in aligned pair order -> (16, K').
+
+    Two ROW gathers only (scalar gathers are ~25x costlier per element on
+    TPU): gauss id -> packed (N, 16) table in sorted pair order, then sorted
+    order -> aligned order.  Alignment-padding slots carry garbage features;
+    the kernels never read them (``lane_valid = pos < tile_count`` masks every
+    per-pair term), so no masking pass is needed here.
+    """
+    del valid
     inv_depth = 1.0 / jnp.where(prep.depth == 0.0, 1.0, prep.depth)
-    rows = [prep.xy[gid, 0], prep.xy[gid, 1],
-            prep.conic[gid, 0], prep.conic[gid, 1], prep.conic[gid, 2],
-            jnp.where(valid, prep.opacity[gid], 0.0),
-            prep.rgb[gid, 0], prep.rgb[gid, 1], prep.rgb[gid, 2],
-            inv_depth[gid]]
-    kp = gid.shape[0]
-    feat = jnp.stack(rows, axis=0)
-    return jnp.concatenate(
-        [feat, jnp.zeros((FEAT_ROWS - len(rows), kp), jnp.float32)], axis=0)
+    n = prep.xy.shape[0]
+    table = jnp.concatenate([
+        prep.xy,                                     # 0, 1
+        prep.conic,                                  # 2, 3, 4
+        prep.opacity[:, None],                       # 5
+        prep.rgb,                                    # 6, 7, 8
+        inv_depth[:, None],                          # 9
+        jnp.zeros((n, FEAT_ROWS - 10), jnp.float32)], axis=-1)
+    feat_sorted = table[pairs.gauss_id]              # (K, 16) row gather
+    feat = feat_sorted[src]                          # (K', 16) row gather
+    return feat.T
 
 
 def _pix_coords(tile_idx, row0, grid_x: int):
@@ -93,14 +113,24 @@ def _pix_coords(tile_idx, row0, grid_x: int):
     return pixf_x, pixf_y
 
 
+def _feat_row(feat, i: int, lane_valid):
+    """Load one (1, C) feature row with invalid lanes zeroed.
+
+    Invalid lanes hold garbage (stale or never-DMA'd VMEM); zeroing at load
+    keeps every downstream product finite — masking only the *results* is not
+    enough because 0 * NaN = NaN would poison the deferred accumulators.
+    """
+    return jnp.where(lane_valid, feat[i:i + 1, :], 0.0)
+
+
 def _chunk_alpha_vmem(feat, pixf_x, pixf_y, lane_valid):
     """Per-(pixel, pair) alpha for one VMEM chunk; returns intermediates."""
-    x = feat[0:1, :]
-    y = feat[1:2, :]
-    ca = feat[2:3, :]
-    cb = feat[3:4, :]
-    cc = feat[4:5, :]
-    op = feat[5:6, :]
+    x = _feat_row(feat, 0, lane_valid)
+    y = _feat_row(feat, 1, lane_valid)
+    ca = _feat_row(feat, 2, lane_valid)
+    cb = _feat_row(feat, 3, lane_valid)
+    cc = _feat_row(feat, 4, lane_valid)
+    op = _feat_row(feat, 5, lane_valid)
     dx = x - pixf_x                    # (256, C)
     dy = y - pixf_y
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -130,60 +160,116 @@ def _prefix_products(trans, alpha_eff, lanes):
     return p_incl, t_ex
 
 
+def _feat_dma(feat_hbm, feat_vmem, sem, start, c, slot: int):
+    """Descriptor for the chunk-c feature DMA into static slot ``slot``."""
+    s = pl.multiple_of(start + c * CHUNK, CHUNK)
+    return pltpu.make_async_copy(feat_hbm.at[:, pl.ds(s, CHUNK)],
+                                 feat_vmem.at[slot], sem.at[slot])
+
+
 def _fwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
                 feat_hbm, out_ref, feat_vmem, sem):
+    """Forward compositing, one 16x16 tile per grid step.
+
+    The chunk loop is unrolled 2x with STATIC ping-pong DMA slots (dynamic
+    VMEM leading-index reads lower poorly in Mosaic), prefetching chunk c+2
+    while chunk c+1 computes.  Color/depth/n_contrib accumulate as full
+    (256, C) carries and reduce across lanes ONCE after the loop — the only
+    per-chunk lane reduction is the transmittance min (a true sequential
+    dependency).
+    """
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
-    k = feat_hbm.shape[1]
     pixf_x, pixf_y = _pix_coords(t, row0_ref[0], grid_x)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-    def body(carry):
-        (i, trans, racc, gacc, bacc, dacc, last) = carry
-        s = pl.multiple_of(start + i * CHUNK, CHUNK)
-        dma = pltpu.make_async_copy(feat_hbm.at[:, pl.ds(s, CHUNK)],
-                                    feat_vmem, sem)
-        dma.start()
-        dma.wait()
-        pos = i * CHUNK + lanes                           # (1, C)
+    @pl.when(count > 0)
+    def _():
+        _feat_dma(feat_hbm, feat_vmem, sem, start, 0, 0).start()
+
+    @pl.when(CHUNK < count)
+    def _():
+        _feat_dma(feat_hbm, feat_vmem, sem, start, 1, 1).start()
+
+    def one_chunk(c, slot: int, trans, cacc, dacc, last):
+        """Composite one chunk from a static VMEM slot; returns new carries.
+
+        Safe to run on a never-DMA'd (stale) slot: every per-pair term is
+        masked by ``lane_valid = pos < count``, which is all-False then.
+        """
+        feat = feat_vmem[slot]
+        pos = c * CHUNK + lanes                           # (1, C)
         lane_valid = pos < count
         alpha_eff, indiv, _, _, _, _, _ = _chunk_alpha_vmem(
-            feat_vmem[:, :], pixf_x, pixf_y, lane_valid)
+            feat, pixf_x, pixf_y, lane_valid)
         p_incl, t_ex = _prefix_products(trans, alpha_eff, lanes)
         kept = indiv & (p_incl >= T_EPS)
         w = jnp.where(kept, alpha_eff * t_ex, 0.0)        # (256, C)
 
-        racc = racc + jnp.sum(w * feat_vmem[6:7, :], axis=1, keepdims=True)
-        gacc = gacc + jnp.sum(w * feat_vmem[7:8, :], axis=1, keepdims=True)
-        bacc = bacc + jnp.sum(w * feat_vmem[8:9, :], axis=1, keepdims=True)
-        dacc = dacc + jnp.sum(w * feat_vmem[9:10, :], axis=1, keepdims=True)
+        cacc = (cacc[0] + w * _feat_row(feat, 6, lane_valid),
+                cacc[1] + w * _feat_row(feat, 7, lane_valid),
+                cacc[2] + w * _feat_row(feat, 8, lane_valid))
+        dacc = dacc + w * _feat_row(feat, 9, lane_valid)
+        last = jnp.maximum(last, jnp.where(kept, pos + 1, 0))
 
         p_kept = jnp.where(kept, p_incl, jnp.inf)
         p_last = jnp.min(p_kept, axis=1, keepdims=True)
         trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
-        contrib = jnp.where(kept, pos + 1, 0)
-        last = jnp.maximum(last, jnp.max(contrib, axis=1, keepdims=True))
-        return (i + 1, trans, racc, gacc, bacc, dacc, last)
+        return trans, cacc, dacc, last
+
+    def body(carry):
+        (j, trans, cacc, dacc, last) = carry
+        c0 = 2 * j
+        _feat_dma(feat_hbm, feat_vmem, sem, start, c0, 0).wait()
+        trans, cacc, dacc, last = one_chunk(c0, 0, trans, cacc, dacc, last)
+
+        # slot 0 is free again: prefetch c0+2 while c0+1 computes
+        @pl.when((c0 + 2) * CHUNK < count)
+        def _():
+            _feat_dma(feat_hbm, feat_vmem, sem, start, c0 + 2, 0).start()
+
+        @pl.when((c0 + 1) * CHUNK < count)
+        def _():
+            _feat_dma(feat_hbm, feat_vmem, sem, start, c0 + 1, 1).wait()
+
+        trans, cacc, dacc, last = one_chunk(c0 + 1, 1, trans, cacc, dacc,
+                                            last)
+
+        @pl.when((c0 + 3) * CHUNK < count)
+        def _():
+            _feat_dma(feat_hbm, feat_vmem, sem, start, c0 + 3, 1).start()
+
+        return (j + 1, trans, cacc, dacc, last)
 
     def cond(carry):
-        i, trans = carry[0], carry[1]
-        return (i * CHUNK < count) & (jnp.max(trans) >= T_EPS)
+        j, trans = carry[0], carry[1]
+        return (2 * j * CHUNK < count) & (jnp.max(trans) >= T_EPS)
 
-    zeros = jnp.zeros((TILE_PIXELS, 1), jnp.float32)
+    zc = jnp.zeros((TILE_PIXELS, CHUNK), jnp.float32)
     init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
-            zeros, zeros, zeros, zeros,
-            jnp.zeros((TILE_PIXELS, 1), jnp.int32))
-    (_, trans, racc, gacc, bacc, dacc, last) = jax.lax.while_loop(
-        cond, body, init)
+            (zc, zc, zc), zc, jnp.zeros((TILE_PIXELS, CHUNK), jnp.int32))
+    (j_end, trans, cacc, dacc, last) = jax.lax.while_loop(cond, body, init)
+
+    # early exit (or count == 0 skip) can leave prefetched DMAs un-waited;
+    # drain them so the next grid step's slot reuse is safe.
+    @pl.when(2 * j_end * CHUNK < count)
+    def _():
+        _feat_dma(feat_hbm, feat_vmem, sem, start, 2 * j_end, 0).wait()
+
+    @pl.when((2 * j_end + 1) * CHUNK < count)
+    def _():
+        _feat_dma(feat_hbm, feat_vmem, sem, start, 2 * j_end + 1, 1).wait()
+
     # pack results as rows of the (1, 8, 256) output block; n_contrib rides
     # as bitcast float bits (exact int32 round trip)
-    out_ref[0, 0, :] = racc[:, 0]
-    out_ref[0, 1, :] = gacc[:, 0]
-    out_ref[0, 2, :] = bacc[:, 0]
-    out_ref[0, 3, :] = dacc[:, 0]
+    out_ref[0, 0, :] = jnp.sum(cacc[0], axis=1)
+    out_ref[0, 1, :] = jnp.sum(cacc[1], axis=1)
+    out_ref[0, 2, :] = jnp.sum(cacc[2], axis=1)
+    out_ref[0, 3, :] = jnp.sum(dacc, axis=1)
     out_ref[0, 4, :] = trans[:, 0]
-    out_ref[0, 5, :] = pltpu.bitcast(last, jnp.float32)[:, 0]
+    out_ref[0, 5, :] = pltpu.bitcast(
+        jnp.max(last, axis=1, keepdims=True), jnp.float32)[:, 0]
     out_ref[0, 6, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
     out_ref[0, 7, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
 
@@ -202,8 +288,8 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, 8, TILE_PIXELS), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((FEAT_ROWS, CHUNK), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     packed = pl.pallas_call(
         functools.partial(_fwd_kernel, settings.grid_x),
@@ -223,12 +309,14 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
-                feat_hbm, pix_in, grads_hbm,
+                feat_hbm, pix_in, grads_hbm, processed_ref,
                 feat_vmem, grad_vmem, sem_in, sem_out):
+    """Backward compositing; same 2x-unrolled static ping-pong as the forward,
+    with a second double-buffered DMA pipeline draining per-pair gradients
+    back to HBM (disjoint per-tile slices — the no-atomics design)."""
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
-    k = feat_hbm.shape[1]
     pixf_x, pixf_y = _pix_coords(t, row0_ref[0], grid_x)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
@@ -240,25 +328,35 @@ def _bwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
     ct_g = pix_in[0, 4, :].reshape(TILE_PIXELS, 1)
     ct_b = pix_in[0, 5, :].reshape(TILE_PIXELS, 1)
 
-    def body(carry):
-        (i, trans, prefix_u) = carry
-        s = pl.multiple_of(start + i * CHUNK, CHUNK)
-        dma = pltpu.make_async_copy(feat_hbm.at[:, pl.ds(s, CHUNK)],
-                                    feat_vmem, sem_in)
-        dma.start()
-        dma.wait()
-        pos = i * CHUNK + lanes
+    def out_dma(c, slot: int):
+        s = pl.multiple_of(start + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(grad_vmem.at[slot],
+                                     grads_hbm.at[:, pl.ds(s, CHUNK)],
+                                     sem_out.at[slot])
+
+    @pl.when(count > 0)
+    def _():
+        _feat_dma(feat_hbm, feat_vmem, sem_in, start, 0, 0).start()
+
+    @pl.when(CHUNK < count)
+    def _():
+        _feat_dma(feat_hbm, feat_vmem, sem_in, start, 1, 1).start()
+
+    def one_chunk(j, c, slot: int, trans, prefix_u):
+        """Gradients for one chunk; writes grad_vmem[slot] and starts its
+        out-DMA.  Stale-slot safe (all terms masked by lane_valid)."""
+        feat = feat_vmem[slot]
+        pos = c * CHUNK + lanes
         lane_valid = pos < count
         alpha_eff, indiv, g, dx, dy, (ca, cb, cc), op = _chunk_alpha_vmem(
-            feat_vmem[:, :], pixf_x, pixf_y, lane_valid)
+            feat, pixf_x, pixf_y, lane_valid)
         p_incl, t_ex = _prefix_products(trans, alpha_eff, lanes)
         kept = indiv & (p_incl >= T_EPS)
         w = jnp.where(kept, alpha_eff * t_ex, 0.0)
 
-        col_r = feat_vmem[6:7, :]
-        col_g = feat_vmem[7:8, :]
-        col_b = feat_vmem[8:9, :]
-        cdot = col_r * ct_r + col_g * ct_g + col_b * ct_b   # (256, C)
+        cdot = (_feat_row(feat, 6, lane_valid) * ct_r
+                + _feat_row(feat, 7, lane_valid) * ct_g
+                + _feat_row(feat, 8, lane_valid) * ct_b)    # (256, C)
         u = w * cdot
         # inclusive prefix sum along lanes (Hillis-Steele doubling)
         cum_u = u
@@ -279,55 +377,91 @@ def _bwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
         gdy = g * dy
         dg_ddelx = -gdx * ca - gdy * cb
         dg_ddely = -gdy * cc - gdx * cb
-        # per-pair sums over the 256 pixels (sublane reductions)
-        grad_vmem[0, :] = jnp.sum(dl_dg * dg_ddelx, axis=0)
-        grad_vmem[1, :] = jnp.sum(dl_dg * dg_ddely, axis=0)
-        grad_vmem[2, :] = jnp.sum(-0.5 * gdx * dx * dl_dg, axis=0)
-        grad_vmem[3, :] = jnp.sum(-0.5 * gdx * dy * dl_dg, axis=0)
-        grad_vmem[4, :] = jnp.sum(-0.5 * gdy * dy * dl_dg, axis=0)
-        grad_vmem[5, :] = jnp.sum(jnp.where(kept, g, 0.0) * dl_dalpha, axis=0)
-        grad_vmem[6, :] = jnp.sum(w * ct_r, axis=0)
-        grad_vmem[7, :] = jnp.sum(w * ct_g, axis=0)
-        grad_vmem[8, :] = jnp.sum(w * ct_b, axis=0)
-        grad_vmem[9:, :] = jnp.zeros((GRAD_ROWS - 9, CHUNK), jnp.float32)
 
-        # write this chunk's per-pair grads to the tile's disjoint slice
-        out_dma = pltpu.make_async_copy(grad_vmem,
-                                        grads_hbm.at[:, pl.ds(s, CHUNK)],
-                                        sem_out)
-        out_dma.start()
-        out_dma.wait()
+        # wait until the grad slot we are about to overwrite has drained
+        @pl.when(j >= 1)
+        def _():
+            out_dma(c - 2, slot).wait()
+
+        # per-pair sums over the 256 pixels (sublane reductions)
+        grad_vmem[slot, 0, :] = jnp.sum(dl_dg * dg_ddelx, axis=0)
+        grad_vmem[slot, 1, :] = jnp.sum(dl_dg * dg_ddely, axis=0)
+        grad_vmem[slot, 2, :] = jnp.sum(-0.5 * gdx * dx * dl_dg, axis=0)
+        grad_vmem[slot, 3, :] = jnp.sum(-0.5 * gdx * dy * dl_dg, axis=0)
+        grad_vmem[slot, 4, :] = jnp.sum(-0.5 * gdy * dy * dl_dg, axis=0)
+        grad_vmem[slot, 5, :] = jnp.sum(
+            jnp.where(kept, g, 0.0) * dl_dalpha, axis=0)
+        grad_vmem[slot, 6, :] = jnp.sum(w * ct_r, axis=0)
+        grad_vmem[slot, 7, :] = jnp.sum(w * ct_g, axis=0)
+        grad_vmem[slot, 8, :] = jnp.sum(w * ct_b, axis=0)
+        grad_vmem[slot, 9:, :] = jnp.zeros((GRAD_ROWS - 9, CHUNK),
+                                           jnp.float32)
+
+        # chunks beyond the tile's aligned range must not write (their HBM
+        # slice belongs to the next tile)
+        @pl.when(c * CHUNK < count)
+        def _():
+            out_dma(c, slot).start()
 
         p_kept = jnp.where(kept, p_incl, jnp.inf)
         p_last = jnp.min(p_kept, axis=1, keepdims=True)
         trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
         prefix_u = prefix_u + jnp.sum(u, axis=1, keepdims=True)
-        return (i + 1, trans, prefix_u)
+        return trans, prefix_u
+
+    def body(carry):
+        (j, trans, prefix_u) = carry
+        c0 = 2 * j
+        _feat_dma(feat_hbm, feat_vmem, sem_in, start, c0, 0).wait()
+        trans, prefix_u = one_chunk(j, c0, 0, trans, prefix_u)
+
+        @pl.when((c0 + 2) * CHUNK < count)
+        def _():
+            _feat_dma(feat_hbm, feat_vmem, sem_in, start, c0 + 2, 0).start()
+
+        @pl.when((c0 + 1) * CHUNK < count)
+        def _():
+            _feat_dma(feat_hbm, feat_vmem, sem_in, start, c0 + 1, 1).wait()
+
+        trans, prefix_u = one_chunk(j, c0 + 1, 1, trans, prefix_u)
+
+        @pl.when((c0 + 3) * CHUNK < count)
+        def _():
+            _feat_dma(feat_hbm, feat_vmem, sem_in, start, c0 + 3, 1).start()
+
+        return (j + 1, trans, prefix_u)
 
     def cond(carry):
-        i, trans = carry[0], carry[1]
-        return (i * CHUNK < count) & (jnp.max(trans) >= T_EPS)
+        j, trans = carry[0], carry[1]
+        return (2 * j * CHUNK < count) & (jnp.max(trans) >= T_EPS)
 
     init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
             jnp.zeros((TILE_PIXELS, 1), jnp.float32))
-    (i_end, _, _) = jax.lax.while_loop(cond, body, init)
+    (j_end, _, _) = jax.lax.while_loop(cond, body, init)
 
-    # Early exit may leave this tile's remaining pair slots unwritten in the
-    # ANY-space output; zero-fill them (the XLA path's kept-mask equivalent).
-    n_chunks = (count + CHUNK - 1) // CHUNK
+    # drain un-waited prefetched input DMAs ...
+    @pl.when(2 * j_end * CHUNK < count)
+    def _():
+        _feat_dma(feat_hbm, feat_vmem, sem_in, start, 2 * j_end, 0).wait()
 
-    def zero_body(i):
-        grad_vmem[:, :] = jnp.zeros((GRAD_ROWS, CHUNK), jnp.float32)
-        out_dma = pltpu.make_async_copy(
-            grad_vmem,
-            grads_hbm.at[:, pl.ds(pl.multiple_of(start + i * CHUNK, CHUNK),
-                                  CHUNK)],
-            sem_out)
-        out_dma.start()
-        out_dma.wait()
-        return i + 1
+    @pl.when((2 * j_end + 1) * CHUNK < count)
+    def _():
+        _feat_dma(feat_hbm, feat_vmem, sem_in, start, 2 * j_end + 1, 1).wait()
 
-    jax.lax.while_loop(lambda i: i < n_chunks, zero_body, i_end)
+    # ... and the last body's two output DMAs (started iff their chunk was in
+    # the tile's range)
+    @pl.when((j_end >= 1) & ((2 * j_end - 2) * CHUNK < count))
+    def _():
+        out_dma(2 * j_end - 2, 0).wait()
+
+    @pl.when((j_end >= 1) & ((2 * j_end - 1) * CHUNK < count))
+    def _():
+        out_dma(2 * j_end - 1, 1).wait()
+
+    # Early exit leaves this tile's remaining pair slots unwritten (garbage)
+    # in the ANY-space output; report the processed pair count so the caller
+    # masks them out of the segment sum (no serial zero-fill DMA tail).
+    processed_ref[0, :, :] = jnp.full((8, 128), 2 * j_end * CHUNK, jnp.int32)
 
 
 def composite_backward(prep: PreprocessOut, pairs: Pairs,
@@ -355,35 +489,44 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec((1, 8, TILE_PIXELS), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[pltpu.VMEM((FEAT_ROWS, CHUNK), jnp.float32),
-                        pltpu.VMEM((GRAD_ROWS, CHUNK), jnp.float32),
-                        pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
+                        pltpu.VMEM((2, GRAD_ROWS, CHUNK), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
-    pair_grads = pl.pallas_call(
+    pair_grads, processed = pl.pallas_call(
         functools.partial(_bwd_kernel, settings.grid_x),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, k_aligned), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, k_aligned), jnp.float32),
+                   jax.ShapeDtypeStruct((t, 8, 128), jnp.int32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(astart, pairs.tile_count, row0_arr, feat, pix)
 
-    # slots past a tile's true count (alignment padding) and past the last
-    # tile's aligned end are either zero-filled by the kernel or invalid —
-    # mask both out of the segment sum.
-    pair_grads = jnp.where(valid[None, :], pair_grads, 0.0)
+    # Mask slots the kernel never wrote (garbage in the ANY-space output):
+    # alignment padding, beyond the last tile, and pairs past a tile's
+    # early-exit point.  Forward-fill each tile's processed count down the
+    # aligned axis (scatter + cumsum; binning.py docstring), then ONE row
+    # scatter-add (row scatters are far cheaper than per-row scalar scatters).
+    from gstpu.ops.binning import fill_by_offsets, run_starts
+
+    k_aligned_i = pair_grads.shape[1]
+    q = jnp.arange(k_aligned_i, dtype=jnp.int32)
+    within = q - run_starts(astart, k_aligned_i)
+    processed_q = fill_by_offsets(astart, processed[:, 0, 0], k_aligned_i)
+    valid = valid & (within < processed_q)
+    pair_grads = jnp.where(valid[None, :], pair_grads, 0.0).T   # (K', 16)
     gid = jnp.where(valid, pairs.gauss_id[src], n)
+    acc = jnp.zeros((n, GRAD_ROWS), jnp.float32).at[gid].add(
+        pair_grads, mode="drop")
     ddelx_dx = 0.5 * settings.width
     ddely_dy = 0.5 * settings.height
 
-    def seg(row):
-        return jnp.zeros((n,), jnp.float32).at[gid].add(row, mode="drop")
-
-    d_mean2d = jnp.stack([seg(pair_grads[0] * ddelx_dx),
-                          seg(pair_grads[1] * ddely_dy)], axis=-1)
-    d_conic = jnp.stack([seg(pair_grads[2]), seg(pair_grads[3]),
-                         seg(pair_grads[4])], axis=-1)
-    d_opac = seg(pair_grads[5])
-    d_color = jnp.stack([seg(pair_grads[6]), seg(pair_grads[7]),
-                         seg(pair_grads[8])], axis=-1)
+    d_mean2d = jnp.stack([acc[:, 0] * ddelx_dx, acc[:, 1] * ddely_dy], axis=-1)
+    d_conic = acc[:, 2:5]
+    d_opac = acc[:, 5]
+    d_color = acc[:, 6:9]
     return d_color, d_mean2d, d_conic, d_opac

@@ -71,6 +71,16 @@ class Trainer:
                 self.model.capacity * self.config.pair_capacity_per_gaussian,
                 1 << 14))))
         self._metrics_file = open(self.output_path / "metrics.jsonl", "a")
+        self._densify_jit = jax.jit(densify_mod.densify_and_prune,
+                                    static_argnums=(2,))
+        # Device-resident target images (the reference re-reads and re-uploads
+        # the image from disk every step, train.py:928-930).  ~768MB for the
+        # Lego split at 800x800; fall back to per-step upload if huge.
+        n_bytes = (len(self.train_data) * self.height * self.width * 12)
+        self._preload = n_bytes < 4 << 30
+        if self._preload:
+            self._targets = jax.device_put(np.stack(
+                [self.train_data.image(i) for i in range(len(self.train_data))]))
 
     # ------------------------------------------------------------------
     def _scene_extent(self) -> float:
@@ -88,7 +98,7 @@ class Trainer:
                               use_pallas=self.use_pallas)
 
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 1))
+    @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
     def _train_step(self, settings: RenderSettings, model: GaussianModel,
                     adam: AdamState, view, proj, campos, target, iteration):
         """One jitted step: fwd render, loss, hand-written bwd, fused Adam."""
@@ -131,8 +141,7 @@ class Trainer:
                      and it % cfg.densification_interval == 0)
         if in_window:
             before = self.model
-            model, stats = jax.jit(densify_mod.densify_and_prune,
-                                   static_argnums=(2,))(
+            model, stats = self._densify_jit(
                 before, pos_grads, float(self.scene_extent), cfg, key)
             if int(stats.overflow) > 0:
                 # grow capacity (recompile boundary) and redo the event
@@ -142,8 +151,7 @@ class Trainer:
                 grown = grow_capacity(before, new_cap)
                 pos_grads = jnp.pad(
                     pos_grads, ((0, new_cap - before.capacity), (0, 0)))
-                model, stats = jax.jit(densify_mod.densify_and_prune,
-                                       static_argnums=(2,))(
+                model, stats = self._densify_jit(
                     grown, pos_grads, float(self.scene_extent), cfg, key)
             self.model = model
             if bool(stats.changed):
@@ -164,49 +172,81 @@ class Trainer:
         self._metrics_file.write(json.dumps(record) + "\n")
         self._metrics_file.flush()
 
-    def train(self, num_iterations: Optional[int] = None) -> None:
+    def train(self, num_iterations: Optional[int] = None,
+              flush_interval: int = 25) -> None:
+        """Training loop.
+
+        Host↔device traffic is batched: per-step scalars (loss, pair count)
+        stay on device and are fetched every ``flush_interval`` steps in one
+        transfer — a per-step readback costs a full pipeline sync (tens of ms
+        over a remote-device link).  Pair-list overflow is therefore detected
+        up to ``flush_interval`` steps late; capacity then grows with 2x
+        headroom and training continues (steps in between rendered with
+        dropped tail tiles — transient, logged).
+        """
         cfg = self.config
         total = num_iterations or cfg.num_iterations
         rng = np.random.default_rng(cfg.seed)
         t_last = time.perf_counter()
+        it_last = self.iteration
+        pending: list[tuple[int, Any, Any]] = []
+
+        def flush() -> None:
+            nonlocal pending
+            if not pending:
+                return
+            fetched = jax.device_get([(p[1], p[2]) for p in pending])
+            max_pairs = 0
+            for (it, _, _), (loss_f, num_pairs) in zip(pending, fetched):
+                self.losses.append(float(loss_f))
+                max_pairs = max(max_pairs, int(num_pairs))
+            if max_pairs > self._pair_capacity:
+                self._pair_capacity = int(2 ** np.ceil(np.log2(max_pairs * 2)))
+                self._log({"event": "pair_capacity_grow",
+                           "iteration": pending[-1][0],
+                           "capacity": self._pair_capacity})
+            pending = []
+
         while self.iteration < total:
             it = self.iteration
             cam_idx = int(rng.integers(0, len(self.train_data)))
             cam = self.train_data.camera(cam_idx)
-            target = jnp.asarray(self.train_data.image(cam_idx))
+            if self._preload:
+                target = self._targets[cam_idx]
+            else:
+                target = jnp.asarray(self.train_data.image(cam_idx))
             settings = self._settings()
 
             self.key, step_key = jax.random.split(self.key)
-            model, adam, loss, pos_grads, num_pairs = self._train_step(
-                settings, self.model, self.adam,
-                jnp.asarray(cam["world_to_camera"]),
-                jnp.asarray(cam["full_proj_matrix"]),
-                jnp.asarray(cam["camera_center"]), target, jnp.int32(it))
+            self.model, self.adam, loss, pos_grads, num_pairs = \
+                self._train_step(
+                    settings, self.model, self.adam,
+                    jnp.asarray(cam["world_to_camera"]),
+                    jnp.asarray(cam["full_proj_matrix"]),
+                    jnp.asarray(cam["camera_center"]), target, jnp.int32(it))
+            pending.append((it, loss, num_pairs))
 
-            if int(num_pairs) > settings.pair_capacity:
-                # pair list overflowed: grow (recompile) and redo this step
-                self._pair_capacity = int(2 ** np.ceil(
-                    np.log2(int(num_pairs) + 1)))
-                self._log({"event": "pair_capacity_grow",
-                           "iteration": it, "capacity": self._pair_capacity})
-                continue
-
-            self.model, self.adam = model, adam
-            loss_f = float(loss)
-            self.losses.append(loss_f)
+            densify_now = (
+                cfg.densify_from_iter < it < cfg.densify_until_iter
+                and it % cfg.densification_interval == 0)
+            if len(pending) >= flush_interval or densify_now:
+                flush()
             self._maybe_densify(pos_grads, step_key)
             self.iteration += 1
 
-            if it % 50 == 0:
+            if it and it % 50 == 0:
                 now = time.perf_counter()
-                self._log({"iteration": it, "loss": loss_f,
+                self._log({"iteration": it,
+                           "loss": self.losses[-1] if self.losses else None,
                            "n_alive": int(self.model.n_alive),
-                           "step_ms": (now - t_last) / max(it and 50, 1) * 1e3})
-                t_last = now
+                           "step_ms": (now - t_last) / (it - it_last) * 1e3})
+                t_last, it_last = now, it
             if it % cfg.save_interval == 0 or it == total - 1:
+                flush()
                 self.save_checkpoint(it)
                 if self.val_data is not None and it > 0:
                     self.evaluate(it)
+        flush()
         self._log({"event": "done", "iteration": self.iteration})
 
     # ------------------------------------------------------------------
