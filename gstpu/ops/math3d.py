@@ -52,13 +52,21 @@ def compute_cov3d(scales: jnp.ndarray, scale_modifier: float,
     (x,y,z,w) quaternion, M = R @ S, Σ = M Mᵀ; returns the packed
     (σ00, σ01, σ02, σ11, σ12, σ22) layout (VEC6).
     """
+    # Expanded elementwise over (N,) lanes: batched (N,3,3) matmuls pad the
+    # 3-wide dims to full vector tiles on TPU (~40x wasted lanes), so
+    # σ_ab = Σ_j R_aj R_bj (mod·s_j)² is written out scalar-style instead.
     R = quat_to_rotmat(rotations)                       # (N,3,3)
     s = scale_modifier * scales                         # (N,3)
-    M = R * s[..., None, :]                             # R @ diag(s)
-    sigma = M @ jnp.swapaxes(M, -1, -2)                 # (N,3,3)
-    return jnp.stack([sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-                      sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]],
-                     axis=-1)
+    s2 = s * s
+    r = [[R[..., i, j] for j in range(3)] for i in range(3)]
+    w = [s2[..., j] for j in range(3)]
+
+    def sig(a, b):
+        return (r[a][0] * r[b][0] * w[0] + r[a][1] * r[b][1] * w[1]
+                + r[a][2] * r[b][2] * w[2])
+
+    return jnp.stack([sig(0, 0), sig(0, 1), sig(0, 2),
+                      sig(1, 1), sig(1, 2), sig(2, 2)], axis=-1)
 
 
 def unpack_cov3d(cov6: jnp.ndarray) -> jnp.ndarray:
@@ -100,17 +108,28 @@ def compute_cov2d(means: jnp.ndarray, cov3d: jnp.ndarray, view: jnp.ndarray,
     J11 = focal_y * inv_tz
     J02 = -(focal_x * tx) * inv_tz * inv_tz
     J12 = -(focal_y * ty) * inv_tz * inv_tz
-    zeros = jnp.zeros_like(J00)
-    J = jnp.stack(
-        [jnp.stack([J00, zeros, J02], -1),
-         jnp.stack([zeros, J11, J12], -1),
-         jnp.stack([zeros, zeros, zeros], -1)], axis=-2)  # (N,3,3)
 
+    # T = J @ W expanded elementwise (see compute_cov3d on why no (N,3,3)
+    # matmuls): row 2 of J is zero, so only T[0,:] and T[1,:] matter.
     W3 = view[:3, :3]                                    # as stored (= Rᵀ)
-    T = J @ W3                                           # (N,3,3)
-    V = unpack_cov3d(cov3d)
-    cov = T @ V @ jnp.swapaxes(T, -1, -2)                # Vᵀ=V (symmetric)
-    return jnp.stack([cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]], axis=-1)
+    T0 = [J00 * W3[0, k] + J02 * W3[2, k] for k in range(3)]
+    T1 = [J11 * W3[1, k] + J12 * W3[2, k] for k in range(3)]
+
+    # cov_ab = T_a · (V @ T_b) with V the symmetric 3x3 from the packed cov3d
+    c00, c01, c02 = cov3d[..., 0], cov3d[..., 1], cov3d[..., 2]
+    c11, c12, c22 = cov3d[..., 3], cov3d[..., 4], cov3d[..., 5]
+
+    def vdot(tb):
+        return (c00 * tb[0] + c01 * tb[1] + c02 * tb[2],
+                c01 * tb[0] + c11 * tb[1] + c12 * tb[2],
+                c02 * tb[0] + c12 * tb[1] + c22 * tb[2])
+
+    u0 = vdot(T0)
+    u1 = vdot(T1)
+    cov00 = T0[0] * u0[0] + T0[1] * u0[1] + T0[2] * u0[2]
+    cov01 = T0[0] * u1[0] + T0[1] * u1[1] + T0[2] * u1[2]
+    cov11 = T1[0] * u1[0] + T1[1] * u1[1] + T1[2] * u1[2]
+    return jnp.stack([cov00, cov01, cov11], axis=-1)
 
 
 def eval_sh(shs: jnp.ndarray, dirs: jnp.ndarray, degree: int) -> jnp.ndarray:

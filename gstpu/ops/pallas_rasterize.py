@@ -274,12 +274,23 @@ def _fwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
     out_ref[0, 7, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
 
 
+def prepare_layout(prep: PreprocessOut, pairs: Pairs, num_tiles: int):
+    """Aligned layout + feature matrix, shared between forward and backward.
+
+    The render custom-VJP stashes this in its residuals so the backward pass
+    does not rebuild the (16, K') feature matrix.
+    """
+    astart, src, valid = _aligned_layout(pairs, num_tiles)
+    feat = _build_feat(prep, pairs, src, valid)
+    return astart, src, valid, feat
+
+
 def composite_forward(prep: PreprocessOut, pairs: Pairs,
-                      settings: RenderSettings, row0=0, interpret=False):
+                      settings: RenderSettings, row0=0, interpret=False,
+                      layout=None):
     """Pallas forward compositing; same contract as rasterize.composite_forward."""
     t = settings.band_tiles
-    astart, src, valid = _aligned_layout(pairs, t)
-    feat = _build_feat(prep, pairs, src, valid)
+    astart, src, valid, feat = layout or prepare_layout(prep, pairs, t)
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -327,7 +338,6 @@ def _bwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
     ct_r = pix_in[0, 3, :].reshape(TILE_PIXELS, 1)
     ct_g = pix_in[0, 4, :].reshape(TILE_PIXELS, 1)
     ct_b = pix_in[0, 5, :].reshape(TILE_PIXELS, 1)
-
     def out_dma(c, slot: int):
         s = pl.multiple_of(start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(grad_vmem.at[slot],
@@ -358,13 +368,16 @@ def _bwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
                 + _feat_row(feat, 7, lane_valid) * ct_g
                 + _feat_row(feat, 8, lane_valid) * ct_b)    # (256, C)
         u = w * cdot
-        # inclusive prefix sum along lanes (Hillis-Steele doubling)
-        cum_u = u
-        shift = 1
-        while shift < CHUNK:
-            rolled = pltpu.roll(cum_u, shift, axis=1)
-            cum_u = cum_u + jnp.where(lanes >= shift, rolled, 0.0)
-            shift *= 2
+        # inclusive prefix sum along lanes as ONE MXU matmul against a
+        # lower-triangular ones matrix — log2(C) VPU roll passes cost far more
+        # than a (256,C)x(C,C) matmul on the systolic array
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+        tri = (rows_i <= cols_i).astype(jnp.float32)
+        cum_u = jax.lax.dot_general(
+            u, tri, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
         prefix_u_incl = prefix_u + cum_u
         inv_one_m = 1.0 / (1.0 - alpha_eff)
         dl_dalpha = (cdot * t_ex
@@ -383,7 +396,10 @@ def _bwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
         def _():
             out_dma(c - 2, slot).wait()
 
-        # per-pair sums over the 256 pixels (sublane reductions)
+        # per-pair sums over the 256 pixels (sublane reductions).  (A
+        # moment-basis MXU factorization of these sums was benchmarked at
+        # parity — the kernel is not reduction-bound — and was dropped for
+        # its reassociation error; see commit history.)
         grad_vmem[slot, 0, :] = jnp.sum(dl_dg * dg_ddelx, axis=0)
         grad_vmem[slot, 1, :] = jnp.sum(dl_dg * dg_ddely, axis=0)
         grad_vmem[slot, 2, :] = jnp.sum(-0.5 * gdx * dx * dl_dg, axis=0)
@@ -467,12 +483,11 @@ def _bwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
 def composite_backward(prep: PreprocessOut, pairs: Pairs,
                        settings: RenderSettings,
                        color_pre_bg, final_t, dl_dpix, bg, row0=0,
-                       interpret=False):
+                       interpret=False, layout=None):
     """Pallas backward; same contract as rasterize.composite_backward."""
     n = prep.xy.shape[0]
     t = settings.band_tiles
-    astart, src, valid = _aligned_layout(pairs, t)
-    feat = _build_feat(prep, pairs, src, valid)
+    astart, src, valid, feat = layout or prepare_layout(prep, pairs, t)
     k_aligned = feat.shape[1]
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
 

@@ -335,11 +335,14 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
     pairs = build_pairs(tiles_band, rect_band, prep.depth,
                         settings.grid_x, settings.band_tiles,
                         settings.pair_capacity)
+    layout = None
     if settings.use_pallas:
         from gstpu.ops import pallas_rasterize
+        layout = pallas_rasterize.prepare_layout(prep, pairs,
+                                                 settings.band_tiles)
         color, dacc, final_t, n_contrib = pallas_rasterize.composite_forward(
             prep, pairs, settings, row0=row0,
-            interpret=settings.pallas_interpret)
+            interpret=settings.pallas_interpret, layout=layout)
     else:
         color, dacc, final_t, n_contrib = composite_forward(
             prep, pairs, settings, row0=row0)
@@ -349,14 +352,14 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
     depth = tiles_to_image(dacc, settings)
     aux = RenderAux(radii=prep.radii, num_pairs=pairs.num_pairs,
                     final_t=final_t, n_contrib=n_contrib, xy=prep.xy)
-    residuals = (prep, pairs, color, final_t, means, scales, rotations, shs,
-                 view, proj, campos, bg, alive, row0)
+    residuals = (prep, pairs, layout, color, final_t, means, scales, rotations,
+                 shs, view, proj, campos, bg, alive, row0)
     return (image, depth, aux), residuals
 
 
 def _render_bwd(settings, tan_fovx, tan_fovy, scale_modifier,
                 residuals, cotangents):
-    (prep, pairs, color, final_t, means, scales, rotations, shs,
+    (prep, pairs, layout, color, final_t, means, scales, rotations, shs,
      view, proj, campos, bg, alive, row0) = residuals
     ct_image, ct_depth, _ = cotangents
     del ct_depth  # no depth-gradient path in the reference (loss.py:243 TODO)
@@ -366,7 +369,7 @@ def _render_bwd(settings, tan_fovx, tan_fovy, scale_modifier,
         from gstpu.ops import pallas_rasterize
         d_color, d_mean2d, d_conic, d_opac = pallas_rasterize.composite_backward(
             prep, pairs, settings, color, final_t, dl_dpix, bg, row0=row0,
-            interpret=settings.pallas_interpret)
+            interpret=settings.pallas_interpret, layout=layout)
     else:
         d_color, d_mean2d, d_conic, d_opac = composite_backward(
             prep, pairs, settings, color, final_t, dl_dpix, bg, row0=row0)

@@ -72,7 +72,7 @@ class Trainer:
                 1 << 14))))
         self._metrics_file = open(self.output_path / "metrics.jsonl", "a")
         self._densify_jit = jax.jit(densify_mod.densify_and_prune,
-                                    static_argnums=(2,))
+                                    static_argnums=(2, 3))
         # Device-resident target images (the reference re-reads and re-uploads
         # the image from disk every step, train.py:928-930).  ~768MB for the
         # Lego split at 800x800; fall back to per-step upload if huge.
@@ -81,6 +81,15 @@ class Trainer:
         if self._preload:
             self._targets = jax.device_put(np.stack(
                 [self.train_data.image(i) for i in range(len(self.train_data))]))
+        # Camera matrices also live on device: per-step host->device uploads
+        # cost a round trip each over a remote-device link.
+        cams = [self.train_data.camera(i) for i in range(len(self.train_data))]
+        self._views = jax.device_put(np.stack(
+            [c["world_to_camera"] for c in cams]).astype(np.float32))
+        self._projs = jax.device_put(np.stack(
+            [c["full_proj_matrix"] for c in cams]).astype(np.float32))
+        self._camposes = jax.device_put(np.stack(
+            [c["camera_center"] for c in cams]).astype(np.float32))
 
     # ------------------------------------------------------------------
     def _scene_extent(self) -> float:
@@ -119,7 +128,8 @@ class Trainer:
         new_params, new_adam = adam_step(params, grads, adam, lrs, iteration,
                                          cfg, alive=model.alive)
         new_model = model.replace(**new_params)
-        return new_model, new_adam, loss, grads["positions"], aux.num_pairs
+        return (new_model, new_adam, loss, grads["positions"], aux.num_pairs,
+                iteration + 1)
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _render_eval(self, settings: RenderSettings, model: GaussianModel,
@@ -207,10 +217,10 @@ class Trainer:
                            "capacity": self._pair_capacity})
             pending = []
 
+        it_dev = jnp.int32(self.iteration)
         while self.iteration < total:
             it = self.iteration
             cam_idx = int(rng.integers(0, len(self.train_data)))
-            cam = self.train_data.camera(cam_idx)
             if self._preload:
                 target = self._targets[cam_idx]
             else:
@@ -218,12 +228,11 @@ class Trainer:
             settings = self._settings()
 
             self.key, step_key = jax.random.split(self.key)
-            self.model, self.adam, loss, pos_grads, num_pairs = \
-                self._train_step(
-                    settings, self.model, self.adam,
-                    jnp.asarray(cam["world_to_camera"]),
-                    jnp.asarray(cam["full_proj_matrix"]),
-                    jnp.asarray(cam["camera_center"]), target, jnp.int32(it))
+            (self.model, self.adam, loss, pos_grads, num_pairs,
+             it_dev) = self._train_step(
+                settings, self.model, self.adam,
+                self._views[cam_idx], self._projs[cam_idx],
+                self._camposes[cam_idx], target, it_dev)
             pending.append((it, loss, num_pairs))
 
             densify_now = (
@@ -269,9 +278,10 @@ class Trainer:
         return mean_psnr
 
     # ------------------------------------------------------------------
-    def save_checkpoint(self, iteration: int) -> None:
-        """PLY export (+ loss curve), reference-compatible layout
-        (train.py:796-849), plus an orbax full-state checkpoint for resume."""
+    def save_checkpoint(self, iteration: int, save_images: bool = True) -> None:
+        """PLY export (+ loss curve + rendered view), reference-compatible
+        layout (train.py:796-849), plus an orbax full-state checkpoint for
+        resume."""
         ckpt_dir = self.output_path / "point_cloud" / f"iteration_{iteration}"
         n = int(self.model.n_alive)
         params_np = {k: np.asarray(v) for k, v in
@@ -279,7 +289,38 @@ class Trainer:
         save_ply(params_np, ckpt_dir / "point_cloud.ply", n)
         with open(self.output_path / "loss.txt", "w") as f:
             f.writelines(f"{loss}\n" for loss in self.losses)
+        if save_images:
+            self._save_debug_images(iteration)
         self._save_state(iteration)
+
+    def _save_debug_images(self, iteration: int) -> None:
+        """Rendered view + loss plot (reference train.py:806-849, 887-895)."""
+        try:
+            import imageio.v2 as imageio
+        except ImportError:
+            return
+        cam = self.train_data.camera(0)
+        img, _ = self._render_eval(
+            self._settings(), self.model, jnp.asarray(cam["world_to_camera"]),
+            jnp.asarray(cam["full_proj_matrix"]),
+            jnp.asarray(cam["camera_center"]))
+        arr = np.clip(np.asarray(img), 0.0, 1.0)
+        imageio.imwrite(self.output_path / f"render_{iteration:06d}.png",
+                        (arr * 255).astype(np.uint8))
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+        if self.losses:
+            fig, ax = plt.subplots(figsize=(8, 4))
+            ax.plot(self.losses)
+            ax.set_xlabel("iteration")
+            ax.set_ylabel("loss")
+            ax.set_yscale("log")
+            fig.savefig(self.output_path / "loss_plot.png", dpi=80)
+            plt.close(fig)
 
     def _save_state(self, iteration: int) -> None:
         try:

@@ -14,7 +14,7 @@ import numpy as np
 
 N = 100_000
 W = H = 800
-CAP = 1 << 21
+CAP = 1 << 19
 
 
 def _run(fn, args, iters):
@@ -95,6 +95,28 @@ def main():
         pr, p, settings, c, ft, dl_dpix, bg))
     bwd_pallas(prep, pairs, color, final_t)
     print(f"pallas bwd:     {timeit(bwd_pallas, prep, pairs, color, final_t):8.2f} ms")
+
+    from gstpu.ops.rasterize import render as full_render
+    import functools
+
+    @jax.jit
+    def fwd_only(m, s_, r, o, sh):
+        return full_render(settings, cam["tan_fovx"], cam["tan_fovy"], 1.0,
+                           m, s_, r, o, sh, view, proj, campos, bg, None,
+                           jnp.int32(0))[0]
+    fwd_only(means, scales, rotations, opacities, shs)
+    print(f"full fwd:       {timeit(fwd_only, means, scales, rotations, opacities, shs):8.2f} ms")
+
+    @jax.jit
+    def fwd_bwd(m, s_, r, o, sh):
+        def loss(m_, s2, r2, o2, sh2):
+            img = full_render(settings, cam["tan_fovx"], cam["tan_fovy"], 1.0,
+                              m_, s2, r2, o2, sh2, view, proj, campos, bg,
+                              None, jnp.int32(0))[0]
+            return jnp.sum(img)
+        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(m, s_, r, o, sh)
+    fwd_bwd(means, scales, rotations, opacities, shs)
+    print(f"full fwd+bwd:   {timeit(fwd_bwd, means, scales, rotations, opacities, shs):8.2f} ms")
 
     if "--xla" in sys.argv:
         fwd_xla = jax.jit(lambda pr, p: composite_forward(pr, p, settings))

@@ -131,3 +131,21 @@ def test_sharded_two_distinct_cameras_average():
     _, _, loss, _, _ = step(params, adam, alive, views, projs, camposes,
                             targets, jnp.int32(0))
     assert abs(float(loss) - want) < 1e-6
+
+
+def test_sharded_render_pallas_matches_xla():
+    """The Pallas kernels compose with the tile-banded multi-chip path."""
+    import dataclasses
+
+    cam, params, alive = _scene(seed=3)
+    base = RenderSettings(width=64, height=64, pair_capacity=1 << 13)
+    j = jnp.asarray
+    mesh = make_mesh(n_data=1, n_model=4, devices=jax.devices()[:4])
+    imgs = {}
+    for name, s in [("xla", base),
+                    ("pallas", dataclasses.replace(base, use_pallas=True,
+                                                   pallas_interpret=True))]:
+        run = make_sharded_render(s, mesh, cam["tan_fovx"], cam["tan_fovy"])
+        imgs[name] = np.asarray(run(params, alive, j(cam["view"]),
+                                    j(cam["proj"]), j(cam["campos"]), j(BG)))
+    np.testing.assert_allclose(imgs["pallas"], imgs["xla"], atol=1e-5)
