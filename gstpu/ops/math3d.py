@@ -169,6 +169,48 @@ def eval_sh(shs: jnp.ndarray, dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
     return result
 
 
+def matrix_to_quaternion(m: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> quaternion (x, y, z, w), batched (..., 3, 3).
+
+    Branch-free port of the reference's case analysis
+    (utils/math_utils.py:43-85, unused by its training loop but part of the
+    utils API): the four trace-based candidates are computed and the
+    numerically safest (largest diagonal pivot) is selected per element.
+    """
+    m00, m11, m22 = m[..., 0, 0], m[..., 1, 1], m[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-12))
+
+    s0 = safe_sqrt(tr + 1.0) * 2.0
+    q0 = jnp.stack([(m[..., 2, 1] - m[..., 1, 2]) / s0,
+                    (m[..., 0, 2] - m[..., 2, 0]) / s0,
+                    (m[..., 1, 0] - m[..., 0, 1]) / s0,
+                    0.25 * s0], axis=-1)
+    s1 = safe_sqrt(1.0 + m00 - m11 - m22) * 2.0
+    q1 = jnp.stack([0.25 * s1,
+                    (m[..., 0, 1] + m[..., 1, 0]) / s1,
+                    (m[..., 0, 2] + m[..., 2, 0]) / s1,
+                    (m[..., 2, 1] - m[..., 1, 2]) / s1], axis=-1)
+    s2 = safe_sqrt(1.0 + m11 - m00 - m22) * 2.0
+    q2 = jnp.stack([(m[..., 0, 1] + m[..., 1, 0]) / s2,
+                    0.25 * s2,
+                    (m[..., 1, 2] + m[..., 2, 1]) / s2,
+                    (m[..., 0, 2] - m[..., 2, 0]) / s2], axis=-1)
+    s3 = safe_sqrt(1.0 + m22 - m00 - m11) * 2.0
+    q3 = jnp.stack([(m[..., 0, 2] + m[..., 2, 0]) / s3,
+                    (m[..., 1, 2] + m[..., 2, 1]) / s3,
+                    0.25 * s3,
+                    (m[..., 1, 0] - m[..., 0, 1]) / s3], axis=-1)
+
+    use0 = (tr > 0.0)[..., None]
+    use1 = ((m00 >= m11) & (m00 >= m22))[..., None]
+    use2 = (m11 >= m22)[..., None]
+    q = jnp.where(use0, q0, jnp.where(use1, q1, jnp.where(use2, q2, q3)))
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
 def ndc2pix(v: jnp.ndarray, size: float) -> jnp.ndarray:
     """NDC [-1,1] -> pixel coordinate (reference forward.py:59-61)."""
     return ((v + 1.0) * size - 1.0) * 0.5

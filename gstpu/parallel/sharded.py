@@ -35,11 +35,13 @@ from gstpu.ops.rasterize import render
 
 
 def band_settings(settings: RenderSettings, n_model: int) -> RenderSettings:
-    """Per-device settings: each device rasterizes grid_y/n_model tile rows."""
-    assert settings.grid_y % n_model == 0, (
-        f"grid_y={settings.grid_y} must divide over model axis {n_model}")
+    """Per-device settings: each device rasterizes ceil(grid_y/n_model) tile
+    rows.  When grid_y does not divide evenly, trailing bands fall beyond the
+    image: their rects clip empty (clip_rect_to_band) and their rows are
+    cropped/masked by the callers."""
     import dataclasses
-    return dataclasses.replace(settings, tile_rows=settings.grid_y // n_model)
+    rows = -(-settings.grid_y // n_model)
+    return dataclasses.replace(settings, tile_rows=rows)
 
 
 def _gather_params(p_shard):
@@ -83,10 +85,11 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
 
     Returns fn(params_shard, adam_shard, alive_shard, views (B,4,4),
     projs (B,4,4), camposes (B,3), targets (B,H',W,3), iteration) ->
-    (new_params_shard, new_adam_shard, loss, pos_grads_shard, num_pairs_max)
+    (new_params_shard, new_adam_shard, loss, pos_grads_shard, num_pairs_max,
+    iteration+1)
 
-    ``B`` must equal the data-axis size; targets must be padded to the tile
-    grid height H' = grid_y*16.
+    ``B`` must equal the data-axis size; targets must be padded to
+    H' = n_model * band_rows * 16 (``pad_targets_to_grid(..., n_model)``).
     """
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
@@ -100,7 +103,7 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
         in_specs=(P("model"), P("model"),
                   P("model"), P("data"), P("data"), P("data"),
                   P("data", "model"), P()),
-        out_specs=(P("model"), P("model"), P(), P("model"), P()),
+        out_specs=(P("model"), P("model"), P(), P("model"), P(), P()),
         check_vma=False)
     def _step(p_shard, adam_shard, alive_shard, view, proj, campos,
               target_band, iteration):
@@ -137,14 +140,17 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
         new_p, new_adam = adam_step(p_shard, grads, adam_shard, lrs,
                                     iteration, config, alive=alive_shard)
         num_pairs = jax.lax.pmax(jax.lax.pmax(aux.num_pairs, "model"), "data")
-        return new_p, new_adam, loss, grads["positions"], num_pairs
+        return new_p, new_adam, loss, grads["positions"], num_pairs, \
+            iteration + 1
 
     return _step
 
 
-def pad_targets_to_grid(targets: jnp.ndarray, settings: RenderSettings):
-    """(B, H, W, 3) -> (B, grid_y*16, W, 3) zero-padded."""
-    h_pad = settings.grid_y * TILE_Y - targets.shape[1]
+def pad_targets_to_grid(targets: jnp.ndarray, settings: RenderSettings,
+                        n_model: int = 1):
+    """(B, H, W, 3) -> (B, n_model*band_rows*16, W, 3) zero-padded."""
+    rows = band_settings(settings, n_model).band_rows * n_model
+    h_pad = rows * TILE_Y - targets.shape[1]
     if h_pad:
         targets = jnp.pad(targets, ((0, 0), (0, h_pad), (0, 0), (0, 0)))
     return targets

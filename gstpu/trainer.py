@@ -38,11 +38,24 @@ from gstpu.utils.ply import save_ply
 
 
 class Trainer:
-    """End-to-end 3DGS training on one device (multi-chip: gstpu.parallel)."""
+    """End-to-end 3DGS training: one device, or a (data, model) mesh.
+
+    With ``mesh`` (jax.sharding.Mesh from gstpu.parallel.make_mesh), every
+    step runs the shard_map program of gstpu/parallel/sharded.py — parameters
+    and Adam moments sharded over ``model``, tile rows banded over ``model``,
+    a batch of ``n_data`` cameras per step psum'd over ``data``.
+    Densification gathers the model (rare, every ``densification_interval``
+    steps), mutates topology, and re-shards — the all-to-all rebalance of
+    SURVEY §7.2.
+    """
 
     def __init__(self, dataset_path: str, output_path: str,
-                 config: Optional[GSConfig] = None, use_pallas: bool = False):
+                 config: Optional[GSConfig] = None, use_pallas: bool = False,
+                 mesh=None):
         self.config = config or GSConfig()
+        self.mesh = mesh
+        self.n_model = int(mesh.shape["model"]) if mesh else 1
+        self.n_data = int(mesh.shape["data"]) if mesh else 1
         self.output_path = Path(output_path)
         self.output_path.mkdir(parents=True, exist_ok=True)
 
@@ -62,7 +75,13 @@ class Trainer:
 
         key = jax.random.PRNGKey(self.config.seed)
         self.key, init_key = jax.random.split(key)
-        self.model = init_model(init_key, self.config)
+        cap = None
+        if self.n_model > 1:  # capacity must split evenly over 'model'
+            cap = int(self.config.num_points * self.config.capacity_headroom)
+            cap = -(-cap // self.n_model) * self.n_model
+        self.model = init_model(init_key, self.config, capacity=cap)
+        if mesh is not None:
+            self.model = self._shard_model(self.model)
         self.adam = init_adam_state(self.model.param_dict())
         self.iteration = 0
         self.losses: list[float] = []
@@ -92,6 +111,21 @@ class Trainer:
             [c["camera_center"] for c in cams]).astype(np.float32))
 
     # ------------------------------------------------------------------
+    def _shard_model(self, model: GaussianModel) -> GaussianModel:
+        """Place parameter arrays split over 'model', n_alive replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        split = NamedSharding(self.mesh, P("model"))
+        rep = NamedSharding(self.mesh, P())
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep if jnp.ndim(x) == 0 else split),
+            model)
+
+    def _gather_model(self, model: GaussianModel) -> GaussianModel:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(self.mesh, P())
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), model)
+
+    # ------------------------------------------------------------------
     def _scene_extent(self) -> float:
         """Camera-bounding-sphere radius, min 1.0 (train.py:233-257)."""
         centers = np.stack([c["camera_center"] for c in self.train_data.cameras])
@@ -105,6 +139,12 @@ class Trainer:
                               sh_degree=self.config.sh_degree,
                               pair_capacity=self._pair_capacity,
                               use_pallas=self.use_pallas)
+
+    @functools.lru_cache(maxsize=8)
+    def _sharded_step(self, settings: RenderSettings):
+        from gstpu.parallel.sharded import make_sharded_train_step
+        return jax.jit(make_sharded_train_step(
+            settings, self.config, self.mesh, self.tan_fovx, self.tan_fovy))
 
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
@@ -150,7 +190,15 @@ class Trainer:
         in_window = (cfg.densify_from_iter < it < cfg.densify_until_iter
                      and it % cfg.densification_interval == 0)
         if in_window:
-            before = self.model
+            if self.mesh is not None:
+                # rare topology event: gather, mutate, re-shard (the
+                # densify-boundary rebalance of SURVEY §7.2.2)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                before = self._gather_model(self.model)
+                pos_grads = jax.device_put(
+                    pos_grads, NamedSharding(self.mesh, P()))
+            else:
+                before = self.model
             model, stats = self._densify_jit(
                 before, pos_grads, float(self.scene_extent), cfg, key)
             if int(stats.overflow) > 0:
@@ -158,11 +206,14 @@ class Trainer:
                 new_cap = int(2 ** np.ceil(np.log2(
                     int(before.n_alive) + int(stats.overflow)
                     + before.capacity)))
+                new_cap = -(-new_cap // self.n_model) * self.n_model
                 grown = grow_capacity(before, new_cap)
                 pos_grads = jnp.pad(
                     pos_grads, ((0, new_cap - before.capacity), (0, 0)))
                 model, stats = self._densify_jit(
                     grown, pos_grads, float(self.scene_extent), cfg, key)
+            if self.mesh is not None:
+                model = self._shard_model(model)
             self.model = model
             if bool(stats.changed):
                 # Q5: the reference zeroes Adam state on topology changes
@@ -220,19 +271,32 @@ class Trainer:
         it_dev = jnp.int32(self.iteration)
         while self.iteration < total:
             it = self.iteration
-            cam_idx = int(rng.integers(0, len(self.train_data)))
-            if self._preload:
-                target = self._targets[cam_idx]
-            else:
-                target = jnp.asarray(self.train_data.image(cam_idx))
             settings = self._settings()
-
             self.key, step_key = jax.random.split(self.key)
-            (self.model, self.adam, loss, pos_grads, num_pairs,
-             it_dev) = self._train_step(
-                settings, self.model, self.adam,
-                self._views[cam_idx], self._projs[cam_idx],
-                self._camposes[cam_idx], target, it_dev)
+
+            if self.mesh is not None:
+                from gstpu.parallel.sharded import pad_targets_to_grid
+                idxs = np.asarray(rng.integers(0, len(self.train_data),
+                                               size=self.n_data))
+                targets = pad_targets_to_grid(self._targets[idxs], settings,
+                                              self.n_model)
+                params, self.adam, loss, pos_grads, num_pairs, it_dev = \
+                    self._sharded_step(settings)(
+                        self.model.param_dict(), self.adam, self.model.alive,
+                        self._views[idxs], self._projs[idxs],
+                        self._camposes[idxs], targets, it_dev)
+                self.model = self.model.replace(**params)
+            else:
+                cam_idx = int(rng.integers(0, len(self.train_data)))
+                if self._preload:
+                    target = self._targets[cam_idx]
+                else:
+                    target = jnp.asarray(self.train_data.image(cam_idx))
+                (self.model, self.adam, loss, pos_grads, num_pairs,
+                 it_dev) = self._train_step(
+                    settings, self.model, self.adam,
+                    self._views[cam_idx], self._projs[cam_idx],
+                    self._camposes[cam_idx], target, it_dev)
             pending.append((it, loss, num_pairs))
 
             densify_now = (
@@ -264,10 +328,12 @@ class Trainer:
         evaluates them; SURVEY §5 metrics row)."""
         vals = []
         settings = self._settings()
+        model = (self._gather_model(self.model) if self.mesh is not None
+                 else self.model)
         for idx in range(min(max_views, len(self.val_data))):
             cam = self.val_data.camera(idx)
             img, _ = self._render_eval(
-                settings, self.model, jnp.asarray(cam["world_to_camera"]),
+                settings, model, jnp.asarray(cam["world_to_camera"]),
                 jnp.asarray(cam["full_proj_matrix"]),
                 jnp.asarray(cam["camera_center"]))
             target = self.val_data.image(idx)
@@ -284,8 +350,10 @@ class Trainer:
         resume."""
         ckpt_dir = self.output_path / "point_cloud" / f"iteration_{iteration}"
         n = int(self.model.n_alive)
+        model = (self._gather_model(self.model) if self.mesh is not None
+                 else self.model)
         params_np = {k: np.asarray(v) for k, v in
-                     self.model.param_dict().items()}
+                     model.param_dict().items()}
         save_ply(params_np, ckpt_dir / "point_cloud.ply", n)
         with open(self.output_path / "loss.txt", "w") as f:
             f.writelines(f"{loss}\n" for loss in self.losses)
@@ -300,8 +368,10 @@ class Trainer:
         except ImportError:
             return
         cam = self.train_data.camera(0)
+        model = (self._gather_model(self.model) if self.mesh is not None
+                 else self.model)
         img, _ = self._render_eval(
-            self._settings(), self.model, jnp.asarray(cam["world_to_camera"]),
+            self._settings(), model, jnp.asarray(cam["world_to_camera"]),
             jnp.asarray(cam["full_proj_matrix"]),
             jnp.asarray(cam["camera_center"]))
         arr = np.clip(np.asarray(img), 0.0, 1.0)
@@ -345,6 +415,12 @@ class Trainer:
             state = ckptr.restore(path, item=template)
         self.model = state["model"]
         self.adam = state["adam"]
+        if self.mesh is not None:
+            self.model = self._shard_model(self.model)
+            self.adam = init_adam_state(self.model.param_dict())
+            self.adam = jax.tree_util.tree_map(
+                lambda z, v: z + jax.device_put(np.asarray(v), z.sharding),
+                self.adam, state["adam"])
         self.iteration = int(state["iteration"]) + 1
         self.key = state["key"]
         self.losses = list(np.asarray(state["losses"]))

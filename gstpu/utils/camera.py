@@ -131,7 +131,31 @@ def load_camera(camera_info: Dict[str, Any],
         "width": int(width),
         "height": int(height),
         "camera": cam,
+        # Parsed-but-unapplied in the reference too (camera_utils.py:57-68):
+        # the rasterizer is pinhole-only; these are carried for API parity.
+        "camera_type": camera_info.get("camera_type", "perspective"),
+        "distortion_params": camera_info.get("distortion_params",
+                                             [0.0, 0.0, 0.0, 0.0]),
     }
+
+
+def load_camera_from_json(json_path: str, camera_id: int = 0,
+                          znear: float = 0.01, zfar: float = 100.0):
+    """Load a single camera from a transforms-style JSON file
+    (reference camera_utils.py:93-113)."""
+    with open(json_path) as f:
+        transforms = json.load(f)
+    frame = transforms["frames"][camera_id]
+    width = transforms.get("w") or transforms.get("width") or 800
+    height = transforms.get("h") or transforms.get("height") or 800
+    focal = 0.5 * width / np.tan(0.5 * transforms["camera_angle_x"])
+    info = {"camera_id": camera_id,
+            "camera_to_world": frame["transform_matrix"],
+            "width": width, "height": height, "focal": focal,
+            "camera_type": frame.get("camera_type", "perspective"),
+            "distortion_params": frame.get("distortion_params",
+                                           [0.0, 0.0, 0.0, 0.0])}
+    return load_camera(info, znear=znear, zfar=zfar)
 
 
 def load_nerf_cameras(dataset_path: str, split: str) -> Tuple[List[Dict[str, Any]], List[str]]:

@@ -110,3 +110,17 @@ def test_empty_scene_renders_background():
     np.testing.assert_allclose(np.asarray(img),
                                np.broadcast_to(bg, (32, 32, 3)), atol=1e-6)
     assert int(aux.num_pairs) == 0
+
+
+def test_matrix_to_quaternion_roundtrip():
+    """quat -> matrix -> quat is identity up to sign (math_utils.py:43-85)."""
+    import jax.numpy as jnp
+    from gstpu.ops.math3d import matrix_to_quaternion, quat_to_rotmat
+
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(64, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    R = quat_to_rotmat(jnp.asarray(q))
+    q2 = np.asarray(matrix_to_quaternion(R))
+    sign = np.sign(np.sum(q2 * q, axis=-1, keepdims=True))
+    np.testing.assert_allclose(q2 * sign, q, atol=2e-3)

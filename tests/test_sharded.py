@@ -78,7 +78,7 @@ def test_sharded_train_step_matches_single_device_grads():
     camposes = jnp.tile(j(cam["campos"])[None], (2, 1))
     targets = pad_targets_to_grid(jnp.tile(j(target)[None], (2, 1, 1, 1)),
                                   settings)
-    new_p, new_adam, loss, pos_grads, num_pairs = step(
+    new_p, new_adam, loss, pos_grads, num_pairs, _it = step(
         params, adam, alive, views, projs, camposes, targets, jnp.int32(0))
 
     # identical cameras on both data groups -> loss == single-device L1
@@ -94,8 +94,9 @@ def test_sharded_train_step_matches_single_device_grads():
     want_p, _ = adam_step(params, ref_grads, adam, lrs, jnp.int32(0), cfg,
                           alive=alive)
     for k in params:
+        # 3e-6: the reduce-scatter reassociates the f32 gradient sums
         np.testing.assert_allclose(np.asarray(new_p[k]),
-                                   np.asarray(want_p[k]), atol=1e-6,
+                                   np.asarray(want_p[k]), atol=3e-6,
                                    err_msg=k)
 
 
@@ -128,7 +129,7 @@ def test_sharded_two_distinct_cameras_average():
     camposes = jnp.tile(j(cam["campos"])[None], (2, 1))
     targets = pad_targets_to_grid(
         jnp.stack([j(t1), j(t2)]), settings)
-    _, _, loss, _, _ = step(params, adam, alive, views, projs, camposes,
+    _, _, loss, _, _, _ = step(params, adam, alive, views, projs, camposes,
                             targets, jnp.int32(0))
     assert abs(float(loss) - want) < 1e-6
 

@@ -64,3 +64,26 @@ def test_train_resume_continues(tiny_dataset, tmp_path):
     assert t2.iteration == 9
     metrics = [json.loads(line) for line in open(out / "metrics.jsonl")]
     assert metrics[-1] == {"event": "done", "iteration": 9}
+
+
+def test_train_loop_sharded_mesh(tiny_dataset, tmp_path):
+    """Multi-chip training end-to-end on the virtual CPU mesh: params + Adam
+    sharded over 'model', 2 cameras per step over 'data', densify via
+    gather -> mutate -> re-shard."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from gstpu.parallel import make_mesh
+    from gstpu.trainer import Trainer
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    out = tmp_path / "out"
+    trainer = Trainer(str(tiny_dataset), str(out), _config(), mesh=mesh)
+    assert trainer.model.capacity % 4 == 0
+    trainer.train()
+
+    losses = [float(x) for x in open(out / "loss.txt")]
+    assert len(losses) == 6 and all(np.isfinite(x) for x in losses)
+    metrics = [json.loads(line) for line in open(out / "metrics.jsonl")]
+    evals = [m for m in metrics if m.get("event") == "eval"]
+    assert evals and np.isfinite(evals[-1]["psnr"])

@@ -23,6 +23,12 @@ def main():
                         help="use the Pallas TPU rasterize kernels")
     parser.add_argument("--resume", type=int, default=None,
                         help="resume from checkpoint iteration")
+    parser.add_argument("--n-model", type=int, default=0,
+                        help="shard Gaussians/tiles over this many devices "
+                             "(0 = single device)")
+    parser.add_argument("--n-data", type=int, default=1,
+                        help="camera-batch data parallelism (devices used = "
+                             "n_model * n_data)")
     args = parser.parse_args()
 
     config = GSConfig()
@@ -31,8 +37,13 @@ def main():
     if args.num_points is not None:
         config = config.replace(num_points=args.num_points)
 
+    mesh = None
+    if args.n_model:
+        from gstpu.parallel import make_mesh
+        mesh = make_mesh(n_data=args.n_data, n_model=args.n_model)
+
     trainer = Trainer(args.dataset, args.output, config,
-                      use_pallas=args.pallas)
+                      use_pallas=args.pallas, mesh=mesh)
     if args.resume is not None:
         trainer.restore(args.resume)
     trainer.train()
