@@ -98,3 +98,25 @@ def test_ply_header_matches_3dgs_schema(tmp_path):
                   "red", "green", "blue", "f_dc_0", "f_rest_0", "f_rest_44"]:
         assert f" {field}" in header, field
     assert "element vertex 2" in header
+
+
+def test_combined_loss_ssim_gradient_flows():
+    """λ_dssim > 0 trains: the SSIM term is differentiable (the reference
+    defines SSIM but never implemented its gradient, loss.py:243 TODO)."""
+    import jax
+    from gstpu.ops.losses import combined_loss
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    loss, grad = jax.value_and_grad(
+        lambda x: combined_loss(x, tgt, lambda_dssim=0.2))(img)
+    assert np.isfinite(float(loss))
+    g = np.asarray(grad)
+    assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
+    # λ=0 must reduce to pure L1 pixel gradients
+    g0 = np.asarray(jax.grad(
+        lambda x: combined_loss(x, tgt, lambda_dssim=0.0))(img))
+    np.testing.assert_allclose(
+        g0, np.sign(np.asarray(img) - np.asarray(tgt)) / (32 * 32 * 3),
+        atol=1e-7)
