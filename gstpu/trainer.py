@@ -266,6 +266,15 @@ class Trainer:
                 self._log({"event": "pair_capacity_grow",
                            "iteration": pending[-1][0],
                            "capacity": self._pair_capacity})
+            elif max_pairs and max_pairs * 4 <= self._pair_capacity:
+                # binning/feature/scatter costs scale with CAPACITY, not the
+                # live pair count — shrink (recompile) when 4x over-provisioned
+                # (e.g. after opacity resets collapse the splats)
+                self._pair_capacity = max(
+                    int(2 ** np.ceil(np.log2(max_pairs * 2))), 1 << 14)
+                self._log({"event": "pair_capacity_shrink",
+                           "iteration": pending[-1][0],
+                           "capacity": self._pair_capacity})
             pending = []
 
         it_dev = jnp.int32(self.iteration)
