@@ -19,6 +19,9 @@ def main():
     parser.add_argument("--output", type=str, default="./output")
     parser.add_argument("--iterations", type=int, default=None)
     parser.add_argument("--num-points", type=int, default=None)
+    parser.add_argument("--lambda-dssim", type=float, default=None,
+                        help="SSIM loss weight (official 3DGS uses 0.2; the "
+                             "reference's effective value is 0)")
     parser.add_argument("--pallas", action="store_true",
                         help="use the Pallas TPU rasterize kernels")
     parser.add_argument("--resume", type=int, default=None,
@@ -36,6 +39,8 @@ def main():
         config = config.replace(num_iterations=args.iterations)
     if args.num_points is not None:
         config = config.replace(num_points=args.num_points)
+    if args.lambda_dssim is not None:
+        config = config.replace(lambda_dssim=args.lambda_dssim)
 
     mesh = None
     if args.n_model:
