@@ -55,7 +55,6 @@ def _append_masked(model: GaussianModel, mask, make_new, n_copies: int,
     cum = jnp.cumsum(mask.astype(jnp.int32))
     total = cum[-1]
     base = model.n_alive + (cum - 1) * n_copies
-    appended = 0
     new = model
     for c in range(n_copies):
         target = jnp.where(mask, base + c, cap)  # cap == drop sentinel
@@ -68,11 +67,8 @@ def _append_masked(model: GaussianModel, mask, make_new, n_copies: int,
         alive = new.alive.at[target].set(True, mode="drop")
         new = new.replace(**updates, alive=alive)
     want = total * n_copies
-    fits = jnp.minimum(want, cap - model.n_alive)
-    fits = jnp.maximum(fits, 0)
     # number actually written: entries with base + c < cap
-    written = jnp.sum(jnp.where(mask, jnp.clip(cap - base, 0, n_copies), 0))
-    appended = written
+    appended = jnp.sum(jnp.where(mask, jnp.clip(cap - base, 0, n_copies), 0))
     new = new.replace(n_alive=model.n_alive + appended)
     return new, appended, want - appended
 
