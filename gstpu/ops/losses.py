@@ -64,13 +64,19 @@ def _filter2d_separable(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(y, 0, -1)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def ssim(rendered: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("clamp_sigma",))
+def ssim(rendered: jnp.ndarray, target: jnp.ndarray,
+         clamp_sigma: bool = False) -> jnp.ndarray:
     """Differentiable SSIM, official-3DGS style (11x11 Gaussian window).
 
     Uniform-padded convolutions; mean over pixels and channels.  This is the
     standard recipe the reference's unused ssim_kernel approximates
     (loss.py:33-119).
+
+    ``clamp_sigma`` floors the variance estimates at 0 — zero-padded borders
+    can produce negative estimates whose near-zero denominator blows the
+    ratio past 1.  Off by default (exact official formula, used by the loss);
+    evaluation metrics enable it.
     """
     win = _gaussian_window()
     mu1 = _filter2d_separable(rendered, win)
@@ -81,6 +87,9 @@ def ssim(rendered: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     sigma1 = _filter2d_separable(rendered * rendered, win) - mu1_sq
     sigma2 = _filter2d_separable(target * target, win) - mu2_sq
     sigma12 = _filter2d_separable(rendered * target, win) - mu12
+    if clamp_sigma:
+        sigma1 = jnp.maximum(sigma1, 0.0)
+        sigma2 = jnp.maximum(sigma2, 0.0)
     num = (2.0 * mu12 + SSIM_C1) * (2.0 * sigma12 + SSIM_C2)
     den = (mu1_sq + mu2_sq + SSIM_C1) * (sigma1 + sigma2 + SSIM_C2)
     return jnp.mean(num / den)

@@ -112,19 +112,30 @@ def cov2d_backward(means: jnp.ndarray, cov3d: jnp.ndarray, radii: jnp.ndarray,
 
     W3 = view[:3, :3]
     # T_b = W3 @ J^T (backward.py:333-347, Q12 — NOT the transpose of the
-    # forward's T_f = J @ W3; replicated for gradient parity).
-    T = jnp.zeros((n, 3, 3), means.dtype)
-    T = T.at[:, :, 0].set(W3[None, :, 0] * J00[:, None]
-                          + W3[None, :, 2] * J02[:, None])
-    T = T.at[:, :, 1].set(W3[None, :, 1] * J11[:, None]
-                          + W3[None, :, 2] * J12[:, None])
-    A = jnp.swapaxes(T, -1, -2)  # cov2d = A Vrk A^T with A = T_b^T
+    # forward's T_f = J @ W3; replicated for gradient parity).  Expanded
+    # elementwise over (N,) lanes — batched (N,3,3) matmuls pad the 3-wide
+    # dims to full vector tiles on TPU (see math3d.compute_cov3d).
+    T00 = W3[0, 0] * J00 + W3[0, 2] * J02
+    T10 = W3[1, 0] * J00 + W3[1, 2] * J02
+    T20 = W3[2, 0] * J00 + W3[2, 2] * J02
+    T01 = W3[0, 1] * J11 + W3[0, 2] * J12
+    T11 = W3[1, 1] * J11 + W3[1, 2] * J12
+    T21 = W3[2, 1] * J11 + W3[2, 2] * J12
 
-    Vrk = math3d.unpack_cov3d(cov3d)
-    cov2d = A @ Vrk @ jnp.swapaxes(A, -1, -2)
-    a = cov2d[:, 0, 0] + 0.3
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + 0.3
+    # cov2d = A Vrk A^T with A = T_b^T: cov_ab = Tcol_a · (Vrk @ Tcol_b)
+    c00, c01, c02 = cov3d[:, 0], cov3d[:, 1], cov3d[:, 2]
+    c11, c12, c22 = cov3d[:, 3], cov3d[:, 4], cov3d[:, 5]
+
+    def vdot(t0, t1, t2):
+        return (c00 * t0 + c01 * t1 + c02 * t2,
+                c01 * t0 + c11 * t1 + c12 * t2,
+                c02 * t0 + c12 * t1 + c22 * t2)
+
+    u0 = vdot(T00, T10, T20)
+    u1 = vdot(T01, T11, T21)
+    a = T00 * u0[0] + T10 * u0[1] + T20 * u0[2] + 0.3
+    b = T00 * u1[0] + T10 * u1[1] + T20 * u1[2]
+    c = T01 * u1[0] + T11 * u1[1] + T21 * u1[2] + 0.3
 
     denom = a * c - b * b
     denom_ok = denom != 0.0
@@ -136,9 +147,6 @@ def cov2d_backward(means: jnp.ndarray, cov3d: jnp.ndarray, radii: jnp.ndarray,
     dL_db = denom2inv * 2.0 * (b * c * dc_a - (denom + 2.0 * b * b) * dc_b + a * b * dc_c)
 
     # ∂L/∂Σ3D through cov2d = T^T Vrk T, packed VEC6 (backward.py:386-399).
-    T00, T01 = T[:, 0, 0], T[:, 0, 1]
-    T10, T11 = T[:, 1, 0], T[:, 1, 1]
-    T20, T21 = T[:, 2, 0], T[:, 2, 1]
     dcov3d = jnp.stack([
         T00 * T00 * dL_da + T00 * T01 * dL_db + T01 * T01 * dL_dc,
         2.0 * T00 * T10 * dL_da + (T00 * T11 + T10 * T01) * dL_db + 2.0 * T01 * T11 * dL_dc,
@@ -148,14 +156,10 @@ def cov2d_backward(means: jnp.ndarray, cov3d: jnp.ndarray, radii: jnp.ndarray,
         T20 * T20 * dL_da + T20 * T21 * dL_db + T21 * T21 * dL_dc,
     ], axis=-1)
 
-    # ∂L/∂T via the product rule (backward.py:403-414).
-    V = Vrk
-    def _row(k):
-        return (T00 * V[:, 0, k] + T10 * V[:, 1, k] + T20 * V[:, 2, k],
-                T01 * V[:, 0, k] + T11 * V[:, 1, k] + T21 * V[:, 2, k])
-    (tv0_0, tv1_0) = _row(0)
-    (tv0_1, tv1_1) = _row(1)
-    (tv0_2, tv1_2) = _row(2)
+    # ∂L/∂T via the product rule (backward.py:403-414); (Vrk @ Tcol_a)[k]
+    # are exactly the u_a[k] computed above (Vrk symmetric).
+    (tv0_0, tv0_1, tv0_2) = u0
+    (tv1_0, tv1_1, tv1_2) = u1
     dT00 = 2.0 * tv0_0 * dL_da + tv1_0 * dL_db
     dT01 = 2.0 * tv0_1 * dL_da + tv1_1 * dL_db
     dT02 = 2.0 * tv0_2 * dL_da + tv1_2 * dL_db
@@ -323,40 +327,49 @@ def cov3d_backward(scales: jnp.ndarray, rotations: jnp.ndarray,
     x, y, z = q[:, 0], q[:, 1], q[:, 2]
     R = math3d.quat_to_rotmat(q)
     s = scale_modifier * scales
-    M = s[:, :, None] * R                          # S @ R
 
+    # Elementwise over (N,) lanes (no batched (N,3,3) matmuls — see
+    # math3d.compute_cov3d): M = S @ R, dM = 2 M dSigma with the packed
+    # symmetric dSigma (off-diagonals halved, backward.py:506-514).
     d = dL_dcov3d
-    dSigma = jnp.stack(
-        [jnp.stack([d[:, 0], 0.5 * d[:, 1], 0.5 * d[:, 2]], -1),
-         jnp.stack([0.5 * d[:, 1], d[:, 3], 0.5 * d[:, 4]], -1),
-         jnp.stack([0.5 * d[:, 2], 0.5 * d[:, 4], d[:, 5]], -1)], axis=-2)
+    dS = [[d[:, 0], 0.5 * d[:, 1], 0.5 * d[:, 2]],
+          [0.5 * d[:, 1], d[:, 3], 0.5 * d[:, 4]],
+          [0.5 * d[:, 2], 0.5 * d[:, 4], d[:, 5]]]
+    Rm = [[R[:, i, j] for j in range(3)] for i in range(3)]
+    sv = [s[:, 0], s[:, 1], s[:, 2]]
+    dM = [[2.0 * sv[i] * (Rm[i][0] * dS[0][j] + Rm[i][1] * dS[1][j]
+                          + Rm[i][2] * dS[2][j])
+           for j in range(3)] for i in range(3)]
 
-    dM = 2.0 * M @ dSigma                          # backward.py:514
-    Rt = jnp.swapaxes(R, -1, -2)
-    dMt = jnp.swapaxes(dM, -1, -2)
-
-    dscale = jnp.stack([jnp.sum(Rt[:, 0] * dMt[:, 0], -1),
-                        jnp.sum(Rt[:, 1] * dMt[:, 1], -1),
-                        jnp.sum(Rt[:, 2] * dMt[:, 2], -1)], axis=-1)
+    # dscale_k = Σ_j R[j][k] dM[j][k]
+    dscale = jnp.stack(
+        [dM[0][0] * Rm[0][0] + dM[1][0] * Rm[1][0] + dM[2][0] * Rm[2][0],
+         dM[0][1] * Rm[0][1] + dM[1][1] * Rm[1][1] + dM[2][1] * Rm[2][1],
+         dM[0][2] * Rm[0][2] + dM[1][2] * Rm[1][2] + dM[2][2] * Rm[2][2]],
+        axis=-1)
     dscale = dscale * scale_modifier
 
-    dMt_s = dMt * s[:, :, None]                    # row k scaled by s_k
-    m = dMt_s
-    dr = 2.0 * (z * (m[:, 0, 1] - m[:, 1, 0])
-                + y * (m[:, 2, 0] - m[:, 0, 2])
-                + x * (m[:, 1, 2] - m[:, 2, 1]))
-    dx = (2.0 * (y * (m[:, 1, 0] + m[:, 0, 1])
-                 + z * (m[:, 2, 0] + m[:, 0, 2])
-                 + r * (m[:, 1, 2] - m[:, 2, 1]))
-          - 4.0 * x * (m[:, 2, 2] + m[:, 1, 1]))
-    dy = (2.0 * (x * (m[:, 1, 0] + m[:, 0, 1])
-                 + r * (m[:, 2, 0] - m[:, 0, 2])
-                 + z * (m[:, 1, 2] + m[:, 2, 1]))
-          - 4.0 * y * (m[:, 2, 2] + m[:, 0, 0]))
-    dz = (2.0 * (r * (m[:, 0, 1] - m[:, 1, 0])
-                 + x * (m[:, 2, 0] + m[:, 0, 2])
-                 + y * (m[:, 1, 2] + m[:, 2, 1]))
-          - 4.0 * z * (m[:, 1, 1] + m[:, 0, 0]))
+    # m[i][j] = dM^T[i][j] * s_i = dM[j][i] * s_i  (backward.py:516-534)
+    class _M:
+        def __getitem__(self, ij):
+            i, j = ij
+            return dM[j][i] * sv[i]
+    m_e = _M()
+    dr = 2.0 * (z * (m_e[0, 1] - m_e[1, 0])
+                + y * (m_e[2, 0] - m_e[0, 2])
+                + x * (m_e[1, 2] - m_e[2, 1]))
+    dx = (2.0 * (y * (m_e[1, 0] + m_e[0, 1])
+                 + z * (m_e[2, 0] + m_e[0, 2])
+                 + r * (m_e[1, 2] - m_e[2, 1]))
+          - 4.0 * x * (m_e[2, 2] + m_e[1, 1]))
+    dy = (2.0 * (x * (m_e[1, 0] + m_e[0, 1])
+                 + r * (m_e[2, 0] - m_e[0, 2])
+                 + z * (m_e[1, 2] + m_e[2, 1]))
+          - 4.0 * y * (m_e[2, 2] + m_e[0, 0]))
+    dz = (2.0 * (r * (m_e[0, 1] - m_e[1, 0])
+                 + x * (m_e[2, 0] + m_e[0, 2])
+                 + y * (m_e[1, 2] + m_e[2, 1]))
+          - 4.0 * z * (m_e[1, 1] + m_e[0, 0]))
     drot = jnp.stack([dx, dy, dz, dr], axis=-1)
     vis = (radii > 0).astype(scales.dtype)
     return dscale * vis[:, None], drot * vis[:, None]

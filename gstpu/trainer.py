@@ -63,6 +63,12 @@ class Trainer:
             self.val_data = NerfSyntheticDataset(dataset_path, "val")
         except FileNotFoundError:
             self.val_data = None
+        try:
+            # the reference loads the test split but never evaluates it
+            # (train.py:149; SURVEY §5) — we evaluate it after training
+            self.test_data = NerfSyntheticDataset(dataset_path, "test")
+        except FileNotFoundError:
+            self.test_data = None
 
         self.scene_extent = self._scene_extent()
         self.width = self.train_data.width
@@ -328,27 +334,37 @@ class Trainer:
                 if self.val_data is not None and it > 0:
                     self.evaluate(it)
         flush()
+        if self.test_data is not None:
+            self.evaluate(self.iteration, data=self.test_data,
+                          max_views=16, tag="test")
         self._log({"event": "done", "iteration": self.iteration})
 
     # ------------------------------------------------------------------
-    def evaluate(self, iteration: int, max_views: int = 8) -> float:
-        """PSNR on the val split (new — the reference loads val/test but never
-        evaluates them; SURVEY §5 metrics row)."""
-        vals = []
+    def evaluate(self, iteration: int, max_views: int = 8,
+                 data=None, tag: str = "eval") -> float:
+        """PSNR + SSIM on the val (or given) split — new: the reference loads
+        val/test but never evaluates them (SURVEY §5 metrics row)."""
+        from gstpu.ops.losses import ssim
+
+        data = data if data is not None else self.val_data
+        vals, ssims = [], []
         settings = self._settings()
         model = (self._gather_model(self.model) if self.mesh is not None
                  else self.model)
-        for idx in range(min(max_views, len(self.val_data))):
-            cam = self.val_data.camera(idx)
+        for idx in range(min(max_views, len(data))):
+            cam = data.camera(idx)
             img, _ = self._render_eval(
                 settings, model, jnp.asarray(cam["world_to_camera"]),
                 jnp.asarray(cam["full_proj_matrix"]),
                 jnp.asarray(cam["camera_center"]))
-            target = self.val_data.image(idx)
-            vals.append(float(psnr(img, jnp.asarray(target))))
+            target = jnp.asarray(data.image(idx))
+            vals.append(float(psnr(img, target)))
+            ssims.append(float(ssim(jnp.clip(img, 0.0, 1.0), target,
+                                    clamp_sigma=True)))
         mean_psnr = float(np.mean(vals))
-        self._log({"event": "eval", "iteration": iteration,
-                   "psnr": mean_psnr, "views": len(vals)})
+        self._log({"event": tag, "iteration": iteration,
+                   "psnr": mean_psnr, "ssim": float(np.mean(ssims)),
+                   "views": len(vals)})
         return mean_psnr
 
     # ------------------------------------------------------------------
