@@ -54,6 +54,11 @@ class RenderSettings:
     # The multi-chip path shards tile rows over the mesh: each device builds
     # this many rows starting at a traced row offset (ops/rasterize.py row0).
     tile_rows: int | None = None
+    # Stride between the band's tile rows: device d owns global tile rows
+    # {row0 + k*row_stride}.  Contiguous bands (stride 1) load-imbalance badly
+    # on real scenes (the object concentrates in center rows: 0.41 mean/max
+    # at 8 devices on trained Lego); round-robin rows measure 0.95+.
+    row_stride: int = 1
 
     @property
     def grid_x(self) -> int:

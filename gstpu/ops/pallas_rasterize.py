@@ -101,9 +101,9 @@ def _build_feat(prep: PreprocessOut, pairs: Pairs, src, valid) -> jnp.ndarray:
     return feat.T
 
 
-def _pix_coords(tile_idx, row0, grid_x: int):
-    """(256, 1) pixel-center coordinates of this tile."""
-    ty = tile_idx // grid_x + row0
+def _pix_coords(tile_idx, row0, grid_x: int, row_stride: int = 1):
+    """(256, 1) pixel-center coordinates of this tile (strided band rows)."""
+    ty = (tile_idx // grid_x) * row_stride + row0
     tx = tile_idx % grid_x
     p = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, 1), 0)
     lx = p % TILE_X
@@ -167,8 +167,8 @@ def _feat_dma(feat_hbm, feat_vmem, sem, start, c, slot: int):
                                  feat_vmem.at[slot], sem.at[slot])
 
 
-def _fwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
-                feat_hbm, out_ref, feat_vmem, sem):
+def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
+                row0_ref, feat_hbm, out_ref, feat_vmem, sem):
     """Forward compositing, one 16x16 tile per grid step.
 
     The chunk loop is unrolled 2x with STATIC ping-pong DMA slots (dynamic
@@ -181,7 +181,7 @@ def _fwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
-    pixf_x, pixf_y = _pix_coords(t, row0_ref[0], grid_x)
+    pixf_x, pixf_y = _pix_coords(t, row0_ref[0], grid_x, row_stride)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     @pl.when(count > 0)
@@ -303,7 +303,7 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
                         pltpu.SemaphoreType.DMA((2,))],
     )
     packed = pl.pallas_call(
-        functools.partial(_fwd_kernel, settings.grid_x),
+        functools.partial(_fwd_kernel, settings.grid_x, settings.row_stride),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, 8, TILE_PIXELS), jnp.float32),
         interpret=interpret,
@@ -319,8 +319,8 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
 # Backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
-                feat_hbm, pix_in, grads_hbm, processed_ref,
+def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
+                row0_ref, feat_hbm, pix_in, grads_hbm, processed_ref,
                 feat_vmem, grad_vmem, sem_in, sem_out):
     """Backward compositing; same 2x-unrolled static ping-pong as the forward,
     with a second double-buffered DMA pipeline draining per-pair gradients
@@ -328,7 +328,7 @@ def _bwd_kernel(grid_x: int, tile_start, tile_count, row0_ref,
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
-    pixf_x, pixf_y = _pix_coords(t, row0_ref[0], grid_x)
+    pixf_x, pixf_y = _pix_coords(t, row0_ref[0], grid_x, row_stride)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     # per-pixel quantities of this tile, as (256, 1) columns
@@ -513,7 +513,7 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
                         pltpu.SemaphoreType.DMA((2,))],
     )
     pair_grads, processed = pl.pallas_call(
-        functools.partial(_bwd_kernel, settings.grid_x),
+        functools.partial(_bwd_kernel, settings.grid_x, settings.row_stride),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, k_aligned), jnp.float32),
                    jax.ShapeDtypeStruct((t, 8, 128), jnp.int32)],

@@ -50,12 +50,13 @@ class RenderAux(NamedTuple):
 def _tile_pixel_coords(settings: RenderSettings, row0=0):
     """(T_band, P) pixel-center coordinates for the rasterized tile band.
 
-    ``row0`` (traced) offsets the band's first tile row — used by the
-    tile-sharded multi-chip path where each device rasterizes its own band.
+    ``row0`` (traced) offsets the band's first tile row; band tile row k maps
+    to global tile row ``row0 + k * row_stride`` (round-robin rows in the
+    tile-sharded multi-chip path — see RenderSettings.row_stride).
     """
     t = jnp.arange(settings.band_tiles, dtype=jnp.int32)
     tx = t % settings.grid_x
-    ty = t // settings.grid_x + row0
+    ty = (t // settings.grid_x) * settings.row_stride + row0
     p = jnp.arange(TILE_PIXELS, dtype=jnp.int32)
     lx = p % TILE_X
     ly = p // TILE_X
@@ -64,22 +65,27 @@ def _tile_pixel_coords(settings: RenderSettings, row0=0):
     return pixf_x, pixf_y
 
 
-def clip_rect_to_band(rect, tiles_touched, row0, band_rows: int):
-    """Clip per-Gaussian tile rects to tile rows [row0, row0+band_rows).
+def clip_rect_to_band(rect, tiles_touched, row0, band_rows: int,
+                      stride: int = 1):
+    """Clip per-Gaussian tile rects to the band's tile rows
+    {row0 + k*stride : k in [0, band_rows)}.
 
     Returns (rect_local, tiles_touched_local) where the local rect's y values
-    are band-relative.  With row0=0 and band_rows=grid_y this is the identity.
-    The multi-chip path uses it so each device only bins pairs for its own
-    tile band (the binning exchange of SURVEY §2.8).
+    are band-local k indices.  With row0=0, stride=1, band_rows=grid_y this
+    is the identity.  The multi-chip path uses it so each device only bins
+    pairs for its own (round-robin) tile rows — the binning exchange of
+    SURVEY §2.8.
     """
     rmin_x, rmin_y, rmax_x, rmax_y = (rect[:, i] for i in range(4))
-    lo = row0
-    hi = row0 + band_rows
-    rmin_yc = jnp.clip(rmin_y, lo, hi) - lo
-    rmax_yc = jnp.clip(rmax_y, lo, hi) - lo
-    tiles = (rmax_yc - rmin_yc) * (rmax_x - rmin_x)
+    # global rows r in [rmin_y, rmax_y) with r = row0 + k*stride:
+    # k in [ceil((rmin_y - row0)/stride), ceil((rmax_y - row0)/stride))
+    def cdiv(a):
+        return -((-a) // stride)
+    k_lo = jnp.clip(cdiv(rmin_y - row0), 0, band_rows)
+    k_hi = jnp.clip(cdiv(rmax_y - row0), 0, band_rows)
+    tiles = (k_hi - k_lo) * (rmax_x - rmin_x)
     tiles = jnp.where(tiles_touched > 0, tiles, 0)
-    rect_local = jnp.stack([rmin_x, rmin_yc, rmax_x, rmax_yc], axis=-1)
+    rect_local = jnp.stack([rmin_x, k_lo, rmax_x, k_hi], axis=-1)
     return rect_local, tiles
 
 
@@ -331,7 +337,8 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
                       settings.sh_degree, scale_modifier=scale_modifier,
                       alive=alive)
     rect_band, tiles_band = clip_rect_to_band(prep.rect, prep.tiles_touched,
-                                              row0, settings.band_rows)
+                                              row0, settings.band_rows,
+                                              settings.row_stride)
     pairs = build_pairs(tiles_band, rect_band, prep.depth,
                         settings.grid_x, settings.band_tiles,
                         settings.pair_capacity)

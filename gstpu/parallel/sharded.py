@@ -35,13 +35,17 @@ from gstpu.ops.rasterize import render
 
 
 def band_settings(settings: RenderSettings, n_model: int) -> RenderSettings:
-    """Per-device settings: each device rasterizes ceil(grid_y/n_model) tile
-    rows.  When grid_y does not divide evenly, trailing bands fall beyond the
-    image: their rects clip empty (clip_rect_to_band) and their rows are
-    cropped/masked by the callers."""
+    """Per-device settings: device d rasterizes the ROUND-ROBIN tile rows
+    {d + k*n_model : k in [0, ceil(grid_y/n_model))}.
+
+    Strided rows, not contiguous bands: real scenes concentrate splats in the
+    center rows, and contiguous bands measure 0.41 mean/max pair balance at
+    8 devices on trained Lego vs 0.95+ for round-robin (PERF_NOTES.md).
+    Rows past grid_y clip empty (clip_rect_to_band) and are masked/cropped by
+    the callers."""
     import dataclasses
     rows = -(-settings.grid_y // n_model)
-    return dataclasses.replace(settings, tile_rows=rows)
+    return dataclasses.replace(settings, tile_rows=rows, row_stride=n_model)
 
 
 def _gather_params(p_shard):
@@ -63,7 +67,7 @@ def make_sharded_render(settings: RenderSettings, mesh: Mesh,
         in_specs=(P("model"), P("model"), P(), P(), P(), P()),
         out_specs=P("model"), check_vma=False)
     def _render(p_shard, alive_shard, view, proj, campos, bg):
-        row0 = jax.lax.axis_index("model") * band_rows
+        row0 = jax.lax.axis_index("model")      # round-robin: rows d + k*n
         p = _gather_params(p_shard)
         alive = jax.lax.all_gather(alive_shard, "model", axis=0, tiled=True)
         image_band, _, _ = render(
@@ -74,6 +78,11 @@ def make_sharded_render(settings: RenderSettings, mesh: Mesh,
 
     def run(params_shard, alive_shard, view, proj, campos, bg):
         img = _render(params_shard, alive_shard, view, proj, campos, bg)
+        # device d's band holds tile rows [d::n_model]: interleave them back
+        w3 = img.shape[1:]
+        img = img.reshape((n_model, band_rows, TILE_Y) + w3)
+        img = jnp.swapaxes(img, 0, 1).reshape((n_model * band_rows * TILE_Y,)
+                                              + w3)
         return img[:settings.height, :settings.width]
 
     return run
@@ -107,7 +116,7 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
         check_vma=False)
     def _step(p_shard, adam_shard, alive_shard, view, proj, campos,
               target_band, iteration):
-        row0 = jax.lax.axis_index("model") * band_rows
+        row0 = jax.lax.axis_index("model")      # round-robin: rows d + k*n
         view = view[0]
         proj = proj[0]
         campos = campos[0]
@@ -120,8 +129,10 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
                 bset, tan_fovx, tan_fovy, config.scale_modifier,
                 p["positions"], p["scales"], p["rotations"], p["opacities"],
                 p["shs"], view, proj, campos, bg, alive, row0)
-            # mask rows beyond the true image height (tile-grid padding)
-            rows = row0 * TILE_Y + jnp.arange(image_band.shape[0])
+            # mask rows beyond the true image height (tile-grid padding);
+            # band pixel row r lives in global tile row row0 + (r//16)*stride
+            r = jnp.arange(image_band.shape[0])
+            rows = (row0 + (r // TILE_Y) * n_model) * TILE_Y + r % TILE_Y
             mask = (rows < height)[:, None, None]
             # LOCAL partial sum only — collectives are applied to the grads
             # outside the differentiation (differentiating through psum under
@@ -148,9 +159,18 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
 
 def pad_targets_to_grid(targets: jnp.ndarray, settings: RenderSettings,
                         n_model: int = 1):
-    """(B, H, W, 3) -> (B, n_model*band_rows*16, W, 3) zero-padded."""
-    rows = band_settings(settings, n_model).band_rows * n_model
+    """(B, H, W, 3) -> (B, n_model*band_rows*16, W, 3), zero-padded and
+    PERMUTED so a contiguous P("data", "model") split hands device d exactly
+    its round-robin tile rows [d::n_model]."""
+    band_rows = band_settings(settings, n_model).band_rows
+    rows = band_rows * n_model
     h_pad = rows * TILE_Y - targets.shape[1]
     if h_pad:
         targets = jnp.pad(targets, ((0, 0), (0, h_pad), (0, 0), (0, 0)))
-    return targets
+    if n_model == 1:
+        return targets
+    b = targets.shape[0]
+    trailing = targets.shape[2:]
+    t = targets.reshape((b, band_rows, n_model, TILE_Y) + trailing)
+    t = jnp.swapaxes(t, 1, 2)
+    return t.reshape((b, rows * TILE_Y) + trailing)

@@ -77,7 +77,7 @@ def test_sharded_train_step_matches_single_device_grads():
     projs = jnp.tile(j(cam["proj"])[None], (2, 1, 1))
     camposes = jnp.tile(j(cam["campos"])[None], (2, 1))
     targets = pad_targets_to_grid(jnp.tile(j(target)[None], (2, 1, 1, 1)),
-                                  settings)
+                                  settings, n_model=4)
     new_p, new_adam, loss, pos_grads, num_pairs, _it = step(
         params, adam, alive, views, projs, camposes, targets, jnp.int32(0))
 
@@ -128,7 +128,7 @@ def test_sharded_two_distinct_cameras_average():
     projs = jnp.tile(j(cam["proj"])[None], (2, 1, 1))
     camposes = jnp.tile(j(cam["campos"])[None], (2, 1))
     targets = pad_targets_to_grid(
-        jnp.stack([j(t1), j(t2)]), settings)
+        jnp.stack([j(t1), j(t2)]), settings, n_model=4)
     _, _, loss, _, _, _ = step(params, adam, alive, views, projs, camposes,
                             targets, jnp.int32(0))
     assert abs(float(loss) - want) < 1e-6
@@ -150,3 +150,21 @@ def test_sharded_render_pallas_matches_xla():
         imgs[name] = np.asarray(run(params, alive, j(cam["view"]),
                                     j(cam["proj"]), j(cam["campos"]), j(BG)))
     np.testing.assert_allclose(imgs["pallas"], imgs["xla"], atol=1e-5)
+
+
+def test_sharded_render_strided_rows():
+    """rows_per > 1: device d owns round-robin tile rows [d::n_model]; the
+    reassembled image must equal the single-device render."""
+    cam, params, alive = _scene(seed=4)
+    settings = RenderSettings(width=64, height=64, pair_capacity=1 << 13)
+    j = jnp.asarray
+    single, _, _ = render(settings, cam["tan_fovx"], cam["tan_fovy"], 1.0,
+                          params["positions"], params["scales"],
+                          params["rotations"], params["opacities"],
+                          params["shs"], j(cam["view"]), j(cam["proj"]),
+                          j(cam["campos"]), j(BG), alive, jnp.int32(0))
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    run = make_sharded_render(settings, mesh, cam["tan_fovx"], cam["tan_fovy"])
+    img = run(params, alive, j(cam["view"]), j(cam["proj"]),
+              j(cam["campos"]), j(BG))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(single), atol=1e-5)
