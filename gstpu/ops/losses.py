@@ -43,25 +43,29 @@ def _gaussian_window(size: int = SSIM_WINDOW, sigma: float = SSIM_SIGMA):
 
 
 def _filter2d_separable(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Separable 2D filter on (H, W, C), 'same' padding."""
+    """Separable 2D filter on (H, W, C), 'same' (zero) padding.
+
+    Implemented as two depthwise ``lax.conv_general_dilated`` calls.  (An
+    unrolled shifted-slice formulation compiled INCORRECTLY on the TPU
+    backend — jit output diverged from eager by 0.64 on a constant input —
+    so the canonical conv path is used.)
+    """
     k = window.shape[0]
-    pad = k // 2
-    x = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)), mode="constant")
-    x = jnp.moveaxis(x, -1, 0)  # (C, H+2p, W)
-
-    # Correlate rows then columns with the 1D window (unrolled taps fuse well).
-    def corr1d(a, axis):
-        a = jnp.moveaxis(a, axis, -1)
-        n = a.shape[-1]
-        out = jnp.zeros(a.shape[:-1] + (n - k + 1,), a.dtype)
-        for i in range(k):
-            out = out + window[i] * a[..., i:i + n - k + 1]
-        return jnp.moveaxis(out, -1, axis)
-
-    y = corr1d(x, axis=1)           # vertical
-    y = jnp.pad(y, ((0, 0), (0, 0), (pad, pad)), mode="constant")
-    y = corr1d(y, axis=2)           # horizontal
-    return jnp.moveaxis(y, 0, -1)
+    c = img.shape[-1]
+    x = img[None]                                     # (1, H, W, C)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (k, 1, 1, c),
+                                        ("NHWC", "HWIO", "NHWC"))
+    kv = jnp.tile(window.reshape(k, 1, 1, 1), (1, 1, 1, c))
+    y = jax.lax.conv_general_dilated(x, kv, (1, 1), "SAME",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c)
+    kh = jnp.tile(window.reshape(1, k, 1, 1), (1, 1, 1, c))
+    dn2 = jax.lax.conv_dimension_numbers(y.shape, (1, k, 1, c),
+                                         ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(y, kh, (1, 1), "SAME",
+                                     dimension_numbers=dn2,
+                                     feature_group_count=c)
+    return y[0]
 
 
 @functools.partial(jax.jit, static_argnames=("clamp_sigma",))
