@@ -168,3 +168,20 @@ def test_sharded_render_strided_rows():
     img = run(params, alive, j(cam["view"]), j(cam["proj"]),
               j(cam["campos"]), j(BG))
     np.testing.assert_allclose(np.asarray(img), np.asarray(single), atol=1e-5)
+
+
+def test_sharded_render_strided_rows_pallas():
+    """Strided rows (rows_per > 1) compose with the Pallas kernels too."""
+    import dataclasses
+
+    cam, params, alive = _scene(seed=5)
+    base = RenderSettings(width=64, height=64, pair_capacity=1 << 13)
+    pal = dataclasses.replace(base, use_pallas=True, pallas_interpret=True)
+    j = jnp.asarray
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    imgs = {}
+    for name, s in (("xla", base), ("pallas", pal)):
+        run = make_sharded_render(s, mesh, cam["tan_fovx"], cam["tan_fovy"])
+        imgs[name] = np.asarray(run(params, alive, j(cam["view"]),
+                                    j(cam["proj"]), j(cam["campos"]), j(BG)))
+    np.testing.assert_allclose(imgs["pallas"], imgs["xla"], atol=1e-5)
