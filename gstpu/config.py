@@ -139,6 +139,11 @@ class GSConfig:
     # === loss (config.py:73) ===
     lambda_dssim: float = 0.0
 
+    # === SH warmup (beyond-parity: official 3DGS grows the active SH degree
+    # every 1000 iterations; the reference always evaluates full degree 3.
+    # 0 disables (reference behavior). ===
+    sh_degree_interval: int = 0
+
     # === capacity management (new, TPU fixed-shape design; SURVEY §7.2.2) ===
     # Gaussian arrays are padded to a capacity; densification grows the count
     # within capacity, and capacity growth is the only recompile event.

@@ -139,9 +139,15 @@ class Trainer:
         extent *= self.config.camera_extent_factor
         return max(extent, 1.0)
 
-    def _settings(self) -> RenderSettings:
+    def _settings(self, iteration: int | None = None) -> RenderSettings:
+        cfg = self.config
+        degree = cfg.sh_degree
+        if cfg.sh_degree_interval and iteration is not None:
+            # official-3DGS SH warmup (beyond-parity; a recompile per bump)
+            degree = min(cfg.sh_degree,
+                         iteration // cfg.sh_degree_interval)
         return RenderSettings(width=self.width, height=self.height,
-                              sh_degree=self.config.sh_degree,
+                              sh_degree=degree,
                               pair_capacity=self._pair_capacity,
                               use_pallas=self.use_pallas)
 
@@ -285,7 +291,7 @@ class Trainer:
         it_dev = jnp.int32(self.iteration)
         while self.iteration < total:
             it = self.iteration
-            settings = self._settings()
+            settings = self._settings(it)
             self.key, step_key = jax.random.split(self.key)
 
             if self.mesh is not None:

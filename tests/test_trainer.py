@@ -87,3 +87,18 @@ def test_train_loop_sharded_mesh(tiny_dataset, tmp_path):
     metrics = [json.loads(line) for line in open(out / "metrics.jsonl")]
     evals = [m for m in metrics if m.get("event") == "eval"]
     assert evals and np.isfinite(evals[-1]["psnr"])
+
+
+def test_sh_degree_warmup(tiny_dataset, tmp_path):
+    """sh_degree_interval grows the active SH degree (official-3DGS warmup)."""
+    from gstpu.trainer import Trainer
+
+    trainer = Trainer(str(tiny_dataset), str(tmp_path / "o"),
+                      _config().replace(sh_degree_interval=2))
+    assert trainer._settings(0).sh_degree == 0
+    assert trainer._settings(3).sh_degree == 1
+    assert trainer._settings(99).sh_degree == 3
+    assert trainer._settings(None).sh_degree == 3  # eval uses full degree
+    trainer.train()  # runs through the degree bumps (recompiles)
+    losses = [float(x) for x in open(tmp_path / "o" / "loss.txt")]
+    assert len(losses) == 6 and all(np.isfinite(x) for x in losses)

@@ -22,6 +22,9 @@ def main():
     parser.add_argument("--lambda-dssim", type=float, default=None,
                         help="SSIM loss weight (official 3DGS uses 0.2; the "
                              "reference's effective value is 0)")
+    parser.add_argument("--sh-warmup", type=int, default=None,
+                        help="grow active SH degree every N iterations "
+                             "(official 3DGS uses 1000; 0/off = reference)")
     parser.add_argument("--pallas", action="store_true",
                         help="use the Pallas TPU rasterize kernels")
     parser.add_argument("--resume", type=int, default=None,
@@ -41,6 +44,8 @@ def main():
         config = config.replace(num_points=args.num_points)
     if args.lambda_dssim is not None:
         config = config.replace(lambda_dssim=args.lambda_dssim)
+    if args.sh_warmup is not None:
+        config = config.replace(sh_degree_interval=args.sh_warmup)
 
     mesh = None
     if args.n_model:
