@@ -338,6 +338,8 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
     ct_r = pix_in[0, 3, :].reshape(TILE_PIXELS, 1)
     ct_g = pix_in[0, 4, :].reshape(TILE_PIXELS, 1)
     ct_b = pix_in[0, 5, :].reshape(TILE_PIXELS, 1)
+    ct_d = pix_in[0, 6, :].reshape(TILE_PIXELS, 1)   # depth cotangent
+
     def out_dma(c, slot: int):
         s = pl.multiple_of(start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(grad_vmem.at[slot],
@@ -366,7 +368,8 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
 
         cdot = (_feat_row(feat, 6, lane_valid) * ct_r
                 + _feat_row(feat, 7, lane_valid) * ct_g
-                + _feat_row(feat, 8, lane_valid) * ct_b)    # (256, C)
+                + _feat_row(feat, 8, lane_valid) * ct_b
+                + _feat_row(feat, 9, lane_valid) * ct_d)    # (256, C)
         u = w * cdot
         # inclusive prefix sum along lanes as ONE MXU matmul against a
         # lower-triangular ones matrix — log2(C) VPU roll passes cost far more
@@ -410,8 +413,9 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         grad_vmem[slot, 6, :] = jnp.sum(w * ct_r, axis=0)
         grad_vmem[slot, 7, :] = jnp.sum(w * ct_g, axis=0)
         grad_vmem[slot, 8, :] = jnp.sum(w * ct_b, axis=0)
-        grad_vmem[slot, 9:, :] = jnp.zeros((GRAD_ROWS - 9, CHUNK),
-                                           jnp.float32)
+        grad_vmem[slot, 9, :] = jnp.sum(w * ct_d, axis=0)   # d inv_depth
+        grad_vmem[slot, 10:, :] = jnp.zeros((GRAD_ROWS - 10, CHUNK),
+                                            jnp.float32)
 
         # chunks beyond the tile's aligned range must not write (their HBM
         # slice belongs to the next tile)
@@ -483,19 +487,25 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
 def composite_backward(prep: PreprocessOut, pairs: Pairs,
                        settings: RenderSettings,
                        color_pre_bg, final_t, dl_dpix, bg, row0=0,
-                       interpret=False, layout=None):
-    """Pallas backward; same contract as rasterize.composite_backward."""
+                       interpret=False, layout=None,
+                       depth_acc=None, dl_ddepth=None):
+    """Pallas backward; same contract as rasterize.composite_backward
+    (inverse depth rides as a 4th composited channel; feature row 9)."""
     n = prep.xy.shape[0]
     t = settings.band_tiles
     astart, src, valid, feat = layout or prepare_layout(prep, pairs, t)
     k_aligned = feat.shape[1]
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
 
-    ctot_dot = jnp.sum(color_pre_bg * dl_dpix, axis=-1)       # (T, P)
+    if dl_ddepth is None:
+        dl_ddepth = jnp.zeros_like(final_t)
+        depth_acc = jnp.zeros_like(final_t)
+    ctot_dot = (jnp.sum(color_pre_bg * dl_dpix, axis=-1)
+                + depth_acc * dl_ddepth)                       # (T, P)
     bg_dot = jnp.sum(bg[None, None, :] * dl_dpix, axis=-1)    # (T, P)
     pix = jnp.stack([ctot_dot, bg_dot, final_t,
                      dl_dpix[:, :, 0], dl_dpix[:, :, 1], dl_dpix[:, :, 2],
-                     jnp.zeros_like(final_t), jnp.zeros_like(final_t)],
+                     dl_ddepth, jnp.zeros_like(final_t)],
                     axis=1)                                    # (T, 8, P)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -544,4 +554,5 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
     d_conic = acc[:, 2:5]
     d_opac = acc[:, 5]
     d_color = acc[:, 6:9]
-    return d_color, d_mean2d, d_conic, d_opac
+    d_invd = acc[:, 9]
+    return d_color, d_mean2d, d_conic, d_opac, d_invd

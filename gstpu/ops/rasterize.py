@@ -187,27 +187,38 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
 
 def composite_backward(prep: PreprocessOut, pairs: Pairs,
                        settings: RenderSettings,
-                       color_pre_bg, final_t, dl_dpix, bg, row0=0):
+                       color_pre_bg, final_t, dl_dpix, bg, row0=0,
+                       depth_acc=None, dl_ddepth=None):
     """Adjoint of compositing (backward.py:558-706), forward-order pass.
 
     ``dl_dpix``: (T, P, 3) pixel-color cotangents.  Returns per-Gaussian
     gradients (dL_dcolor (N,3), dL_dmean2d_ndc (N,2), dL_dconic (N,3),
-    dL_dopacity (N,)).  ``dL_dmean2d_ndc`` carries the reference's
-    ``ddelx_dx = 0.5 * W`` NDC scaling (backward.py:631-632).
+    dL_dopacity (N,), dL_dinvdepth (N,)).  ``dL_dmean2d_ndc`` carries the
+    reference's ``ddelx_dx = 0.5 * W`` NDC scaling (backward.py:631-632).
+
+    ``depth_acc``/``dl_ddepth`` (both (T, P)) enable the depth-gradient path:
+    the inverse-depth image is just a 4th composited channel with no
+    background term (beyond-parity: the reference defines a depth loss but
+    has no depth backward, loss.py:243).
     """
     n = prep.xy.shape[0]
     chunk = settings.chunk
     pixf_x, pixf_y = _tile_pixel_coords(settings, row0)
 
+    with_depth = dl_ddepth is not None
     ctot_dot = jnp.sum(color_pre_bg * dl_dpix, axis=-1)          # (T,P)
+    if with_depth:
+        ctot_dot = ctot_dot + depth_acc * dl_ddepth
     bg_dot = jnp.sum(bg[None, None, :] * dl_dpix, axis=-1)       # (T,P)
     ddelx_dx = 0.5 * settings.width
     ddely_dy = 0.5 * settings.height
+    inv_depth = 1.0 / jnp.where(prep.depth == 0.0, 1.0, prep.depth)
 
     n_chunks = jnp.max((pairs.tile_count + chunk - 1) // chunk)
 
     def body(carry):
-        (i, trans, prefix_u, d_color, d_mean2d, d_conic, d_opac) = carry
+        (i, trans, prefix_u, d_color, d_mean2d, d_conic, d_opac,
+         d_invd) = carry
         gid, pvalid, _ = _chunk_pair_data(pairs, i, chunk)
         alpha_eff, indiv, g, dx, dy, (ca, cb, cc), op = _chunk_alpha(
             prep, gid, pvalid, pixf_x, pixf_y)
@@ -220,6 +231,8 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
         col = prep.rgb[gid]                                      # (T,C,3)
         cdot = jnp.einsum("tck,tpk->tpc", col, dl_dpix,
                   precision=jax.lax.Precision.HIGHEST)   # (T,P,C)
+        if with_depth:
+            cdot = cdot + inv_depth[gid][:, None, :] * dl_ddepth[:, :, None]
         u = w * cdot
         prefix_u_incl = prefix_u[:, :, None] + jnp.cumsum(u, axis=-1)
 
@@ -252,13 +265,17 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
         d_conic = d_conic.at[gid_s].add(
             jnp.stack([d_ca, d_cb, d_cc], axis=-1), mode="drop")
         d_opac = d_opac.at[gid_s].add(d_op, mode="drop")
+        if with_depth:
+            d_invd_pair = jnp.sum(w * dl_ddepth[:, :, None], axis=1)  # (T,C)
+            d_invd = d_invd.at[gid_s].add(d_invd_pair, mode="drop")
 
         # carry updates (identical to forward)
         p_kept = jnp.where(kept, p_incl, jnp.inf)
         p_last = jnp.min(p_kept, axis=-1)
         trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
         prefix_u = prefix_u + jnp.sum(u, axis=-1)
-        return (i + 1, trans, prefix_u, d_color, d_mean2d, d_conic, d_opac)
+        return (i + 1, trans, prefix_u, d_color, d_mean2d, d_conic, d_opac,
+                d_invd)
 
     def cond(carry):
         return carry[0] < n_chunks
@@ -270,9 +287,10 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
             jnp.zeros((n, 3), jnp.float32),
             jnp.zeros((n, 2), jnp.float32),
             jnp.zeros((n, 3), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
             jnp.zeros((n,), jnp.float32))
     out = jax.lax.while_loop(cond, body, init)
-    return out[3], out[4], out[5], out[6]
+    return out[3], out[4], out[5], out[6], out[7]
 
 
 def tiles_to_image(tiled: jnp.ndarray, settings: RenderSettings) -> jnp.ndarray:
@@ -359,27 +377,33 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
     depth = tiles_to_image(dacc, settings)
     aux = RenderAux(radii=prep.radii, num_pairs=pairs.num_pairs,
                     final_t=final_t, n_contrib=n_contrib, xy=prep.xy)
-    residuals = (prep, pairs, layout, color, final_t, means, scales, rotations,
-                 shs, view, proj, campos, bg, alive, row0)
+    residuals = (prep, pairs, layout, color, dacc, final_t, means, scales,
+                 rotations, shs, view, proj, campos, bg, alive, row0)
     return (image, depth, aux), residuals
 
 
 def _render_bwd(settings, tan_fovx, tan_fovy, scale_modifier,
                 residuals, cotangents):
-    (prep, pairs, layout, color, final_t, means, scales, rotations, shs,
+    (prep, pairs, layout, color, dacc, final_t, means, scales, rotations, shs,
      view, proj, campos, bg, alive, row0) = residuals
     ct_image, ct_depth, _ = cotangents
-    del ct_depth  # no depth-gradient path in the reference (loss.py:243 TODO)
 
     dl_dpix = image_to_tiles(ct_image, settings)
+    # Depth-gradient path (beyond-parity — the reference defines a depth loss
+    # but never implemented its backward, loss.py:243): the inverse-depth
+    # image is a 4th composited channel with no background term.
+    dl_ddepth = image_to_tiles(ct_depth, settings)
     if settings.use_pallas:
         from gstpu.ops import pallas_rasterize
-        d_color, d_mean2d, d_conic, d_opac = pallas_rasterize.composite_backward(
+        (d_color, d_mean2d, d_conic, d_opac,
+         d_invd) = pallas_rasterize.composite_backward(
             prep, pairs, settings, color, final_t, dl_dpix, bg, row0=row0,
-            interpret=settings.pallas_interpret, layout=layout)
+            interpret=settings.pallas_interpret, layout=layout,
+            depth_acc=dacc, dl_ddepth=dl_ddepth)
     else:
-        d_color, d_mean2d, d_conic, d_opac = composite_backward(
-            prep, pairs, settings, color, final_t, dl_dpix, bg, row0=row0)
+        d_color, d_mean2d, d_conic, d_opac, d_invd = composite_backward(
+            prep, pairs, settings, color, final_t, dl_dpix, bg, row0=row0,
+            depth_acc=dacc, dl_ddepth=dl_ddepth)
 
     focal_x = settings.width / (2.0 * tan_fovx)
     focal_y = settings.height / (2.0 * tan_fovy)
@@ -398,7 +422,13 @@ def _render_bwd(settings, tan_fovx, tan_fovy, scale_modifier,
     dscale, drot = preprocess_bwd.cov3d_backward(
         scales, rotations, prep.radii, scale_modifier, dcov3d,
         parity=settings.parity)
-    dmean = dmean_cov + dmean_proj + dmean_sh
+    # depth chain: inv_depth = 1/t_z, t_z = [p,1] @ view (row-vector), so
+    # dL/dp_j += -inv_depth^2 * dL/dinv_depth * view[j, 2]
+    inv_depth = 1.0 / jnp.where(prep.depth == 0.0, 1.0, prep.depth)
+    d_tz = -inv_depth * inv_depth * d_invd \
+        * (prep.radii > 0).astype(means.dtype)
+    dmean_depth = d_tz[:, None] * view[None, :3, 2]
+    dmean = dmean_cov + dmean_proj + dmean_sh + dmean_depth
 
     zeros_like = jax.tree_util.tree_map(jnp.zeros_like,
                                         (view, proj, campos, bg))

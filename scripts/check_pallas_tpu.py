@@ -58,8 +58,8 @@ def main():
         pr, p, settings, c, t, d, bg))(prep, pairs, cx, tx, dl_dpix)
     outs_p = jax.jit(lambda pr, p, c, t, d: pallas_rasterize.composite_backward(
         pr, p, settings, c, t, d, bg))(prep, pairs, cx, tx, dl_dpix)
-    for name, a, b in zip(("d_color", "d_mean2d", "d_conic", "d_opac"),
-                          outs_x, outs_p):
+    for name, a, b in zip(("d_color", "d_mean2d", "d_conic", "d_opac",
+                           "d_invdepth"), outs_x, outs_p):
         scale = float(jnp.max(jnp.abs(a))) or 1.0
         print(f"bwd {name} rel maxdiff: {float(jnp.max(jnp.abs(a - b)))/scale:.3e}")
 

@@ -130,7 +130,7 @@ def test_composite_backward_matches_autodiff():
         prep.xy, prep.conic, prep.opacity, prep.rgb)
 
     color, _, final_t, _ = composite_forward(prep, pairs, settings)
-    d_color, d_mean2d_ndc, d_conic, d_opac = composite_backward(
+    d_color, d_mean2d_ndc, d_conic, d_opac, _d_invd = composite_backward(
         prep, pairs, settings, color, final_t, ct_tiles, bg)
     # hand-written mean2d grads are NDC-scaled (reference backward.py:631-632)
     d_xy = np.asarray(d_mean2d_ndc) / np.array([0.5 * 32, 0.5 * 32])
@@ -240,3 +240,35 @@ def test_finite_differences_on_smooth_params():
         analytic = float(np.sum(grads[name] * d))
         assert abs(fd - analytic) <= 5e-2 * max(abs(fd), abs(analytic), 1.0), (
             name, fd, analytic)
+
+
+def test_depth_gradients_finite_differences():
+    """Depth is differentiable (beyond-parity: the reference's depth loss has
+    no backward, loss.py:243).  Check d(sum depth)/d(position z) by central
+    finite differences on smooth, well-separated Gaussians."""
+    from gstpu.config import RenderSettings
+    from gstpu.ops.rasterize import render
+
+    rng = np.random.default_rng(9)
+    cam = scenes.example_camera(width=48, height=48)
+    pts, shs, scales, rotations, opacities = scenes.random_scene(
+        rng, n=6, opacity_range=(0.4, 0.6), scale_range=(0.15, 0.25))
+    settings = RenderSettings(width=48, height=48, pair_capacity=1 << 11)
+    j = jnp.asarray
+    w = jnp.asarray(rng.normal(size=(48, 48)).astype(np.float32))
+
+    def loss(p):
+        _, depth, _ = render(settings, cam["tan_fovx"], cam["tan_fovy"], 1.0,
+                             p, j(scales), j(rotations), j(opacities), j(shs),
+                             j(cam["view"]), j(cam["proj"]), j(cam["campos"]),
+                             jnp.zeros(3, jnp.float32), None, jnp.int32(0))
+        return jnp.sum(depth * w)
+
+    g = np.asarray(jax.grad(loss)(j(pts)))
+    eps = 1e-3
+    for i in (0, 3):
+        for axis in range(3):
+            dp = np.zeros_like(pts)
+            dp[i, axis] = eps
+            fd = (float(loss(j(pts + dp))) - float(loss(j(pts - dp)))) / (2 * eps)
+            np.testing.assert_allclose(g[i, axis], fd, rtol=0.05, atol=1e-4)

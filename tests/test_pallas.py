@@ -64,7 +64,8 @@ def test_pallas_backward_matches_xla():
     g1 = R.composite_backward(prep, pairs, settings, c1, t1, ct, bg)
     g2 = PR.composite_backward(prep, pairs, settings, c1, t1, ct, bg,
                                interpret=True)
-    for a, b, name in zip(g1, g2, ["d_color", "d_mean2d", "d_conic", "d_opac"]):
+    for a, b, name in zip(g1, g2, ["d_color", "d_mean2d", "d_conic",
+                                   "d_opac", "d_invdepth"]):
         scale = max(float(jnp.max(jnp.abs(a))), 1e-6)
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale, atol=1e-5,
