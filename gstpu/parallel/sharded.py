@@ -106,6 +106,16 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
     band_rows = bset.band_rows
     bg = jnp.asarray(config.background_color, jnp.float32)
     height, width = settings.height, settings.width
+    lambda_dssim = float(config.lambda_dssim)
+
+    def _assemble_rows(bands):
+        """(n_model*band_rows*16, W, 3) device-major gathered bands ->
+        (H, W, 3) image (device d holds round-robin tile rows [d::n_model])."""
+        trailing = bands.shape[1:]
+        x = bands.reshape((n_model, band_rows, TILE_Y) + trailing)
+        x = jnp.swapaxes(x, 0, 1).reshape(
+            (n_model * band_rows * TILE_Y,) + trailing)
+        return x[:height, :width]
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -137,16 +147,30 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
             # LOCAL partial sum only — collectives are applied to the grads
             # outside the differentiation (differentiating through psum under
             # manual sharding scales cotangents by the axis size).
-            partial = jnp.sum(jnp.abs(image_band - target_band) * mask)
+            l1_partial = jnp.sum(jnp.abs(image_band - target_band) * mask)
+            partial = (1.0 - lambda_dssim) * l1_partial \
+                / (n_data * height * width * 3.0)
+            if lambda_dssim > 0.0:
+                # DSSIM needs the full image (11x11 windows cross band rows):
+                # differentiable all_gather over 'model' — its vjp
+                # psum_scatters each device's full-image cotangent back to the
+                # band owners, so every device computing the same SSIM
+                # contributes 1/n_model of the gradient (hence the /n_model).
+                from gstpu.ops.losses import ssim
+                full_img = _assemble_rows(jax.lax.all_gather(
+                    image_band, "model", axis=0, tiled=True))
+                full_tgt = _assemble_rows(jax.lax.all_gather(
+                    target_band, "model", axis=0, tiled=True))
+                partial = partial + lambda_dssim \
+                    * (1.0 - ssim(full_img, full_tgt)) / (n_data * n_model)
             return partial, aux
 
-        norm = n_data * height * width * 3.0
         (partial, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p_shard)
-        loss = jax.lax.psum(partial, ("data", "model")) / norm
+        loss = jax.lax.psum(partial, ("data", "model"))
         # all_gather's vjp already reduce-scattered band contributions over
-        # 'model'; sum the camera batch over 'data' and normalize like loss:
+        # 'model'; sum the camera batch over 'data':
         grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, "data") / norm, grads)
+            lambda g: jax.lax.psum(g, "data"), grads)
         lrs = schedule_lrs(config, iteration)
         new_p, new_adam = adam_step(p_shard, grads, adam_shard, lrs,
                                     iteration, config, alive=alive_shard)

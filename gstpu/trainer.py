@@ -269,9 +269,21 @@ class Trainer:
                 return
             fetched = jax.device_get([(p[1], p[2]) for p in pending])
             max_pairs = 0
+            overflow_steps = 0
             for (it, _, _), (loss_f, num_pairs) in zip(pending, fetched):
                 self.losses.append(float(loss_f))
                 max_pairs = max(max_pairs, int(num_pairs))
+                if int(num_pairs) > self._pair_capacity:
+                    overflow_steps += 1
+            if overflow_steps:
+                # these steps rendered with dropped tail tiles before the
+                # deferred fetch detected the overflow (ADVICE r1) — make the
+                # degraded window visible at the moment it is known
+                self._log({"event": "pair_overflow",
+                           "iteration": pending[-1][0],
+                           "overflow_steps": overflow_steps,
+                           "max_pairs": max_pairs,
+                           "capacity": self._pair_capacity})
             if max_pairs > self._pair_capacity:
                 self._pair_capacity = int(2 ** np.ceil(np.log2(max_pairs * 2)))
                 self._log({"event": "pair_capacity_grow",
@@ -298,8 +310,12 @@ class Trainer:
                 from gstpu.parallel.sharded import pad_targets_to_grid
                 idxs = np.asarray(rng.integers(0, len(self.train_data),
                                                size=self.n_data))
-                targets = pad_targets_to_grid(self._targets[idxs], settings,
-                                              self.n_model)
+                if self._preload:
+                    batch = self._targets[idxs]
+                else:  # dataset over the preload threshold: upload per step
+                    batch = jnp.asarray(np.stack(
+                        [self.train_data.image(int(i)) for i in idxs]))
+                targets = pad_targets_to_grid(batch, settings, self.n_model)
                 params, self.adam, loss, pos_grads, num_pairs, it_dev = \
                     self._sharded_step(settings)(
                         self.model.param_dict(), self.adam, self.model.alive,

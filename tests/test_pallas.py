@@ -57,13 +57,18 @@ def test_pallas_forward_matches_xla(seed, opac):
 
 def test_pallas_backward_matches_xla():
     rng, settings, prep, pairs = _setup(seed=2)
-    c1, _, t1, _ = R.composite_forward(prep, pairs, settings)
+    c1, dacc, t1, _ = R.composite_forward(prep, pairs, settings)
     bg = jnp.asarray([0.2, 0.1, 0.4], jnp.float32)
     ct = jnp.asarray(rng.normal(0, 1, (settings.num_tiles, 256, 3))
                      .astype(np.float32))
-    g1 = R.composite_backward(prep, pairs, settings, c1, t1, ct, bg)
+    # nonzero depth cotangent so the depth-gradient rows (ct_d through cdot,
+    # ctot_dot, and grad row 9) are actually compared (ADVICE r1)
+    ct_d = jnp.asarray(rng.normal(0, 1, (settings.num_tiles, 256))
+                       .astype(np.float32))
+    g1 = R.composite_backward(prep, pairs, settings, c1, t1, ct, bg,
+                              depth_acc=dacc, dl_ddepth=ct_d)
     g2 = PR.composite_backward(prep, pairs, settings, c1, t1, ct, bg,
-                               interpret=True)
+                               interpret=True, depth_acc=dacc, dl_ddepth=ct_d)
     for a, b, name in zip(g1, g2, ["d_color", "d_mean2d", "d_conic",
                                    "d_opac", "d_invdepth"]):
         scale = max(float(jnp.max(jnp.abs(a))), 1e-6)

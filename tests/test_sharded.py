@@ -100,6 +100,47 @@ def test_sharded_train_step_matches_single_device_grads():
                                    err_msg=k)
 
 
+def test_sharded_train_step_dssim_matches_single_device():
+    """λ_dssim > 0 on the sharded step: the SSIM term is computed over the
+    all_gathered full image and must match the single-device combined loss
+    and gradients (ADVICE r1: the sharded loss used to silently drop it)."""
+    from gstpu.ops.losses import combined_loss
+
+    cam, params, alive = _scene(seed=7, n=48)
+    cfg = GSConfig(lambda_dssim=0.2)
+    settings = RenderSettings(width=64, height=64, pair_capacity=1 << 13)
+    j = jnp.asarray
+    rng = np.random.default_rng(8)
+    target = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+
+    def loss_fn(p):
+        img, _, _ = render(settings, cam["tan_fovx"], cam["tan_fovy"], 1.0,
+                           p["positions"], p["scales"], p["rotations"],
+                           p["opacities"], p["shs"], j(cam["view"]),
+                           j(cam["proj"]), j(cam["campos"]), j(BG), alive,
+                           jnp.int32(0))
+        return combined_loss(img, j(target), cfg.lambda_dssim)
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    step = make_sharded_train_step(settings, cfg, mesh,
+                                   cam["tan_fovx"], cam["tan_fovy"])
+    adam = init_adam_state(params)
+    views = jnp.tile(j(cam["view"])[None], (2, 1, 1))
+    projs = jnp.tile(j(cam["proj"])[None], (2, 1, 1))
+    camposes = jnp.tile(j(cam["campos"])[None], (2, 1))
+    targets = pad_targets_to_grid(jnp.tile(j(target)[None], (2, 1, 1, 1)),
+                                  settings, n_model=4)
+    _, _, loss, pos_grads, _, _ = step(
+        params, adam, alive, views, projs, camposes, targets, jnp.int32(0))
+    assert abs(float(loss) - float(ref_loss)) < 1e-5
+    scale = max(float(jnp.max(jnp.abs(ref_grads["positions"]))), 1e-8)
+    np.testing.assert_allclose(np.asarray(pos_grads) / scale,
+                               np.asarray(ref_grads["positions"]) / scale,
+                               atol=2e-5)
+
+
 def test_sharded_two_distinct_cameras_average():
     """Data-parallel camera batching: loss is the mean over the batch."""
     cam, params, alive = _scene(seed=3, n=32)
