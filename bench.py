@@ -88,18 +88,31 @@ def main():
     # the remote-TPU tunnel (~27ms/sync) — reports steady-state per-frame time
     ms = (run(ITERS_HI) - run(ITERS_LO)) / (ITERS_HI - ITERS_LO) * 1e3
 
+    extra = {
+        "gaussians_per_s": round(N_GAUSSIANS / (ms / 1e3)),
+        "n_gaussians": N_GAUSSIANS,
+        "resolution": f"{WIDTH}x{HEIGHT}",
+        "backend": jax.default_backend(),
+        "pallas": use_pallas,
+    }
+    # measured speed-of-light floor (scripts/sol_model.py -> SOL.json):
+    # vs_sol = fraction of the algorithm's achievable per-frame floor
+    try:
+        import pathlib
+        sol = json.loads((pathlib.Path(__file__).parent / "SOL.json")
+                         .read_text())
+        if sol.get("backend") == jax.default_backend():
+            extra["sol_ms"] = sol["sol_ms"]
+            extra["vs_sol"] = round(sol["sol_ms"] / ms, 4)
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
+
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_ms_per_frame",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_BUDGET_MS / ms, 4),
-        "extra": {
-            "gaussians_per_s": round(N_GAUSSIANS / (ms / 1e3)),
-            "n_gaussians": N_GAUSSIANS,
-            "resolution": f"{WIDTH}x{HEIGHT}",
-            "backend": jax.default_backend(),
-            "pallas": use_pallas,
-        },
+        "extra": extra,
     }))
 
 

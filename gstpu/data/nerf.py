@@ -71,3 +71,38 @@ class NerfSyntheticDataset:
 
     def camera(self, idx: int):
         return self.cameras[idx]
+
+    # --- depth targets (*_depth_*.png companions, e.g. the reference's
+    # data/lego/test split ships r_N_depth_0001.png per frame; the reference
+    # defines a depth loss over such targets but never loads them,
+    # loss.py:247-303 / readme.md:72) ---
+
+    def depth_path(self, idx: int) -> str | None:
+        import glob
+
+        base, _ = os.path.splitext(self.image_paths[idx])
+        hits = sorted(glob.glob(f"{base}_depth_*.png"))
+        return hits[0] if hits else None
+
+    @property
+    def has_depth(self) -> bool:
+        return len(self) > 0 and self.depth_path(0) is not None
+
+    def depth(self, idx: int):
+        """(target_inv_depth (H,W) f32 in [0,1], mask (H,W) f32).
+
+        The PNGs are normalized inverse-depth visualizations (larger =
+        closer, 0 = background); callers scale by ``depth_scale`` to map
+        onto the rendered inverse-depth channel.  Mask = has-geometry.
+        """
+        import imageio.v2 as imageio
+
+        path = self.depth_path(idx)
+        if path is None:
+            raise FileNotFoundError(
+                f"no *_depth_*.png next to {self.image_paths[idx]}")
+        img = imageio.imread(path)
+        if img.ndim == 3:
+            img = img[..., 0]
+        d = img.astype(np.float32) / 255.0
+        return d, (d > 0).astype(np.float32)

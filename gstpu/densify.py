@@ -92,8 +92,11 @@ def densify_and_prune(model: GaussianModel, pos_grads: jnp.ndarray,
                       key: jax.Array) -> tuple[GaussianModel, DensifyStats]:
     """One densification event (train.py:392-693).  Jittable, static shapes."""
     cap = model.capacity
+    activated = config.parameterization == "activated"
     grad_norms = jnp.linalg.norm(pos_grads, axis=-1) * model.alive
-    max_scale = jnp.max(model.scales, axis=-1)
+    # thresholds compare RENDER-space scales/opacities in both schemes
+    real_scales = jnp.exp(model.scales) if activated else model.scales
+    max_scale = jnp.max(real_scales, axis=-1)
     scale_thresh = config.percent_dense * scene_extent
     high_grad = grad_norms >= config.densify_grad_threshold
 
@@ -118,9 +121,14 @@ def densify_and_prune(model: GaussianModel, pos_grads: jnp.ndarray,
         jitter = jax.random.uniform(k, p["positions"].shape, jnp.float32,
                                     -config.clone_noise_scale,
                                     config.clone_noise_scale)
+        if activated:  # x factor in render space == + log(factor) in logs
+            child_scales = p["scales"] + jnp.log(
+                jnp.float32(config.split_scale_factor))
+        else:
+            child_scales = p["scales"] * config.split_scale_factor
         return {**p,
                 "positions": p["positions"] + jitter,
-                "scales": p["scales"] * config.split_scale_factor}
+                "scales": child_scales}
 
     model2, n_children, ovf2 = _append_masked(model1, split_mask, make_child,
                                               config.split_n, k_split)
@@ -129,7 +137,9 @@ def densify_and_prune(model: GaussianModel, pos_grads: jnp.ndarray,
     model2 = compact(model2)
 
     # --- step 3: prune by opacity with guards (train.py:621-693) ---
-    keep = model2.alive & (model2.opacities > config.cull_opacity_threshold)
+    real_opac = (jax.nn.sigmoid(model2.opacities) if activated
+                 else model2.opacities)
+    keep = model2.alive & (real_opac > config.cull_opacity_threshold)
     valid_count = jnp.sum(keep.astype(jnp.int32))
     num_points = model2.n_alive
     prune_count = num_points - valid_count
@@ -154,10 +164,20 @@ def densify_and_prune(model: GaussianModel, pos_grads: jnp.ndarray,
     return model3, stats
 
 
-def reset_opacities(model: GaussianModel, value: float) -> GaussianModel:
-    """Unconditional opacity reset (optimizer.py:143-158, Q6)."""
+def reset_opacities(model: GaussianModel, value: float,
+                    parameterization: str = "raw") -> GaussianModel:
+    """Opacity reset.  Raw scheme: unconditional set-all (Q6,
+    optimizer.py:143-158).  Activated scheme: official 3DGS semantics —
+    min(opacity, value) in render space, stored as a logit."""
+    if parameterization == "activated":
+        from gstpu.models.gaussians import inverse_sigmoid
+
+        new = inverse_sigmoid(jnp.minimum(jax.nn.sigmoid(model.opacities),
+                                          jnp.float32(value)))
+    else:
+        new = jnp.float32(value)
     return model.replace(
-        opacities=jnp.where(model.alive, jnp.float32(value), model.opacities))
+        opacities=jnp.where(model.alive, new, model.opacities))
 
 
 def should_reset_opacity(config: GSConfig, iteration: int) -> bool:

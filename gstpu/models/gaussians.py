@@ -42,6 +42,26 @@ class GaussianModel:
                 "shs": self.shs}
 
 
+def activate_params(params, parameterization: str):
+    """Map stored parameters to render-space parameters.
+
+    "raw" (reference Q2): identity.  "activated" (official 3DGS): scales are
+    stored as logs (exp activation), opacities as logits (sigmoid).
+    Gradients flow through the activations to the stored values.
+    """
+    if parameterization == "raw":
+        return params
+    if parameterization != "activated":
+        raise ValueError(f"unknown parameterization {parameterization!r}")
+    return {**params,
+            "scales": jnp.exp(params["scales"]),
+            "opacities": jax.nn.sigmoid(params["opacities"])}
+
+
+def inverse_sigmoid(x):
+    return jnp.log(x / (1.0 - x))
+
+
 def init_model(key: jax.Array, config: GSConfig,
                capacity: int | None = None) -> GaussianModel:
     """Random initialization matching the reference recipe (train.py:36-92):
@@ -58,10 +78,14 @@ def init_model(key: jax.Array, config: GSConfig,
     capacity = max(capacity, n)
     e = config.init_position_extent
     positions = jax.random.uniform(key, (capacity, 3), jnp.float32, -e, e)
-    scales = jnp.full((capacity, 3), config.initial_scale, jnp.float32)
+    init_scale, init_opac = config.initial_scale, config.initial_opacity
+    if config.parameterization == "activated":
+        init_scale = float(jnp.log(jnp.float32(init_scale)))
+        init_opac = float(inverse_sigmoid(jnp.float32(init_opac)))
+    scales = jnp.full((capacity, 3), init_scale, jnp.float32)
     rotations = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32),
                          (capacity, 1))
-    opacities = jnp.full((capacity,), config.initial_opacity, jnp.float32)
+    opacities = jnp.full((capacity,), init_opac, jnp.float32)
     shs = jnp.zeros((capacity, 16, 3), jnp.float32)
     shs = shs.at[:, 0, :].set(config.initial_sh_dc)
     alive = jnp.arange(capacity) < n

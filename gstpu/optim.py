@@ -102,11 +102,15 @@ def adam_step(params: Dict[str, Any], grads: Dict[str, Any],
             b1, b2, eps, bc1, bc2)
 
     # --- projections (reference post-step constraints) ---
-    new_p["scales"] = jnp.maximum(new_p["scales"], 0.001)
+    if config.parameterization == "raw":
+        # Q2: raw scheme clamps the stored values
+        new_p["scales"] = jnp.maximum(new_p["scales"], 0.001)
+        new_p["opacities"] = jnp.clip(new_p["opacities"], 0.0, 1.0)
+    # official "activated" mode needs no clamps (exp/sigmoid keep the render
+    # values in range); quaternions renormalize in both schemes
     q = new_p["rotations"]
     qlen = jnp.linalg.norm(q, axis=-1, keepdims=True)
     new_p["rotations"] = jnp.where(qlen > 0.0, q / jnp.where(qlen == 0, 1.0, qlen), q)
-    new_p["opacities"] = jnp.clip(new_p["opacities"], 0.0, 1.0)
 
     if alive is not None:
         def _mask(new, old):

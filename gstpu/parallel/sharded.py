@@ -134,7 +134,8 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
         alive = jax.lax.all_gather(alive_shard, "model", axis=0, tiled=True)
 
         def loss_fn(ps):
-            p = _gather_params(ps)
+            from gstpu.models.gaussians import activate_params
+            p = activate_params(_gather_params(ps), config.parameterization)
             image_band, _, aux = render(
                 bset, tan_fovx, tan_fovy, config.scale_modifier,
                 p["positions"], p["scales"], p["rotations"], p["opacities"],

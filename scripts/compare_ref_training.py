@@ -1,0 +1,206 @@
+"""Measured reference-vs-gstpu TRAINING comparison (VERDICT r1 item 5).
+
+Runs the reference's own training loop (its unmodified NeRFGaussianSplatting
+Trainer, executing under the NumPy Warp shim) and gstpu's Trainer on the SAME
+tiny dataset with the SAME config, the SAME injected initial parameters, and
+the SAME camera order — then reports per-step loss agreement and final PSNR
+for both, measured.  Full-scale Lego under the interpreted reference is
+infeasible (~hours/iteration at 800x800 in pure Python), so the comparison
+runs at 64x64 / few hundred points / no-densify scale, which exercises the
+full train step (render -> L1 -> backward -> scheduled Adam + the iteration-0
+opacity reset) end to end.
+
+Both final parameter sets are evaluated with the SAME renderer (gstpu's,
+which is golden-tested against the reference's forward kernels), so the PSNR
+comparison isolates the *training* dynamics.
+
+Usage: python scripts/compare_ref_training.py [--iterations 100]
+Writes JSON to stdout and tests/golden/train_compare.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+os.environ.setdefault("MPLBACKEND", "Agg")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+
+if jax.config.jax_platforms is None:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def make_dataset(root: Path) -> Path:
+    from scripts.make_tiny_nerf import make_dataset as mk
+
+    data = root / "tiny_nerf_cmp"
+    if not (data / "transforms_train.json").exists():
+        mk(data, size=64, n_train=4, n_val=2)
+    # the reference Trainer requires a test split; mirror val
+    if not (data / "transforms_test.json").exists():
+        tj = json.loads((data / "transforms_val.json").read_text())
+        for f in tj["frames"]:
+            f["file_path"] = f["file_path"].replace("./val/", "./test/")
+        (data / "transforms_test.json").write_text(json.dumps(tj))
+        shutil.copytree(data / "val", data / "test", dirs_exist_ok=True)
+    return data
+
+
+def shared_init(n: int, seed: int = 7):
+    """One initial parameter set injected into BOTH trainers (reference init
+    distribution: U(-1.3,1.3)^3 positions, 0.1 iso scales, identity quat —
+    the TRUE identity, both sides accept arbitrary quats — 0.1 opacity,
+    DC=-0.007 SH)."""
+    rng = np.random.default_rng(seed)
+    return {
+        "positions": rng.uniform(-1.3, 1.3, (n, 3)).astype(np.float32),
+        "scales": np.full((n, 3), 0.1, np.float32),
+        "rotations": np.tile(np.array([0, 0, 0, 1], np.float32), (n, 1)),
+        "opacities": np.full(n, 0.1, np.float32),
+        "shs": np.concatenate(
+            [np.full((n, 1, 3), -0.007, np.float32),
+             np.zeros((n, 15, 3), np.float32)], axis=1),
+    }
+
+
+def run_reference(data: Path, out: Path, init, cam_seq, iterations: int):
+    from tests.warp_shim import load_reference_module, warpstub as wp
+
+    ref_train = load_reference_module("train")
+    ref_train.GaussianParams.update(
+        num_points=len(init["opacities"]), num_iterations=iterations,
+        save_interval=1 << 30)
+    trainer = ref_train.NeRFGaussianSplattingTrainer(str(data), str(out))
+    # inject the shared init
+    trainer.params["positions"] = wp.array(init["positions"], dtype=wp.vec3)
+    trainer.params["scales"] = wp.array(init["scales"], dtype=wp.vec3)
+    trainer.params["rotations"] = wp.array(init["rotations"], dtype=wp.vec4)
+    trainer.params["opacities"] = wp.array(init["opacities"], dtype=float)
+    trainer.params["shs"] = wp.array(init["shs"].reshape(-1, 3),
+                                     dtype=wp.vec3)
+    # pin the camera order (np.random.randint is used only for the pick,
+    # train.py:928)
+    it = iter([int(c) for c in cam_seq])
+    orig = np.random.randint
+    np.random.randint = lambda lo, hi=None, **kw: next(it)
+    try:
+        trainer.train()
+    finally:
+        np.random.randint = orig
+    params = {k: np.array(v.numpy()) for k, v in trainer.params.items()}
+    params["shs"] = params["shs"].reshape(-1, 16, 3)
+    return [float(l) for l in trainer.losses], params
+
+
+def run_gstpu(data: Path, out: Path, init, cam_seq, iterations: int):
+    import jax.numpy as jnp
+
+    from gstpu.config import GSConfig
+    from gstpu.trainer import Trainer
+
+    n = len(init["opacities"])
+    cfg = GSConfig(num_points=n, num_iterations=iterations,
+                   save_interval=1 << 30)
+    trainer = Trainer(str(data), str(out), config=cfg)
+    pads = {k: np.zeros((trainer.model.capacity - n,) + v.shape[1:],
+                        np.float32) for k, v in init.items()}
+    trainer.model = trainer.model.replace(
+        **{k: jnp.asarray(np.concatenate([v, pads[k]])) for k, v in
+           init.items()})
+
+    class _FakeRng:
+        def __init__(self, seq):
+            self._it = iter([int(c) for c in seq])
+
+        def integers(self, lo, hi=None, size=None):
+            if size is None:
+                return next(self._it)
+            return np.array([next(self._it) for _ in range(size)])
+
+    orig = np.random.default_rng
+    np.random.default_rng = lambda *a, **kw: _FakeRng(cam_seq)
+    try:
+        trainer.train()
+    finally:
+        np.random.default_rng = orig
+    n_alive = int(trainer.model.n_alive)
+    params = {k: np.asarray(v)[:n_alive] for k, v in
+              trainer.model.param_dict().items()}
+    return [float(l) for l in trainer.losses], params
+
+
+def eval_psnr(data: Path, params) -> float:
+    """Mean PSNR over the train views, rendered with gstpu (golden-tested
+    against the reference forward — the shared yardstick)."""
+    import jax.numpy as jnp
+
+    from gstpu.data.nerf import NerfSyntheticDataset
+    from gstpu.render import render_gaussians
+
+    ds = NerfSyntheticDataset(str(data), "train")
+    vals = []
+    for i in range(len(ds)):
+        cam = ds.camera(i)
+        img, _, _ = render_gaussians(
+            background=np.zeros(3, np.float32),
+            means3D=params["positions"], opacity=params["opacities"],
+            scales=params["scales"], rotations=params["rotations"],
+            viewmatrix=cam["world_to_camera"],
+            projmatrix=cam["full_proj_matrix"],
+            tan_fovx=cam["tan_fovx"], tan_fovy=cam["tan_fovy"],
+            image_height=ds.height, image_width=ds.width,
+            sh=params["shs"], degree=3, campos=cam["camera_center"])
+        target = ds.image(i)
+        mse = float(np.mean((np.asarray(img) - target) ** 2))
+        vals.append(-10.0 * np.log10(max(mse, 1e-12)))
+    return float(np.mean(vals))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iterations", type=int, default=100)
+    ap.add_argument("--num-points", type=int, default=300)
+    ap.add_argument("--workdir", default="/tmp/gstpu_cmp")
+    args = ap.parse_args()
+
+    root = Path(args.workdir)
+    data = make_dataset(root)
+    init = shared_init(args.num_points)
+    rng = np.random.default_rng(11)
+    cam_seq = rng.integers(0, 4, size=args.iterations)
+
+    ref_losses, ref_params = run_reference(
+        data, root / "ref_out", init, cam_seq, args.iterations)
+    gs_losses, gs_params = run_gstpu(
+        data, root / "gstpu_out", init, cam_seq, args.iterations)
+
+    k = min(len(ref_losses), len(gs_losses))
+    r = np.asarray(ref_losses[:k])
+    g = np.asarray(gs_losses[:k])
+    rel = np.abs(r - g) / np.maximum(np.abs(r), 1e-8)
+    result = {
+        "iterations": args.iterations,
+        "num_points": args.num_points,
+        "ref_final_loss_mean10": float(r[-10:].mean()),
+        "gstpu_final_loss_mean10": float(g[-10:].mean()),
+        "loss_max_rel_diff_first20": float(rel[:20].max()),
+        "loss_mean_rel_diff": float(rel.mean()),
+        "ref_train_psnr": eval_psnr(data, ref_params),
+        "gstpu_train_psnr": eval_psnr(data, gs_params),
+    }
+    out_path = Path(__file__).resolve().parents[1] / "tests" / "golden" \
+        / "train_compare.json"
+    out_path.write_text(json.dumps(result, indent=2))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

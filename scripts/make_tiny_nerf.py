@@ -60,6 +60,13 @@ def make_dataset(out_dir: Path, size: int = 64, n_train: int = 4,
             name = f"r_{i}"
             imageio.imwrite(img_dir / f"{name}.png",
                             (rgba * 255).astype(np.uint8))
+            # normalized inverse-depth target (NeRF-synthetic naming,
+            # cf. reference data/lego/test r_N_depth_0001.png): the blob
+            # sits at the origin ~radius away, so inv depth ~ 1/radius where
+            # there is content, 0 (masked out) elsewhere
+            depth = np.where(base > 0.05, 1.0 / radius, 0.0)
+            imageio.imwrite(img_dir / f"{name}_depth_0001.png",
+                            (depth * 255).astype(np.uint8))
             frames.append({"file_path": f"./{split}/{name}",
                            "transform_matrix": c2w.tolist()})
         with open(out_dir / f"transforms_{split}.json", "w") as f:

@@ -102,3 +102,122 @@ def test_sh_degree_warmup(tiny_dataset, tmp_path):
     trainer.train()  # runs through the degree bumps (recompiles)
     losses = [float(x) for x in open(tmp_path / "o" / "loss.txt")]
     assert len(losses) == 6 and all(np.isfinite(x) for x in losses)
+
+
+def test_depth_supervision_trains(tiny_dataset, tmp_path):
+    """--lambda-depth end to end (VERDICT r1 item 9): the depth term carries
+    nonzero gradients to the positions, and a depth-supervised run ends with
+    LOWER depth error than the same run without the term.  (An absolute
+    before/after decrease is confounded by the iteration-0 opacity reset,
+    which collapses the depth accumulation for both runs.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from gstpu.data.nerf import NerfSyntheticDataset
+    from gstpu.ops.losses import depth_loss
+    from gstpu.ops.rasterize import render
+    from gstpu.trainer import Trainer
+
+    data = NerfSyntheticDataset(str(tiny_dataset), "train")
+    assert data.has_depth
+
+    cfg = _config().replace(num_iterations=30, lambda_depth=4.0,
+                            densify_from_iter=10_000)  # isolate the loss path
+
+    def depth_l1(trainer):
+        vals = []
+        for i in range(len(data)):
+            cam = data.camera(i)
+            _, d = trainer._render_eval(
+                trainer._settings(), trainer.model,
+                jnp.asarray(cam["world_to_camera"]),
+                jnp.asarray(cam["full_proj_matrix"]),
+                jnp.asarray(cam["camera_center"]))
+            td, m = data.depth(i)
+            vals.append(float(depth_loss(d, cfg.depth_scale * jnp.asarray(td),
+                                         jnp.asarray(m))))
+        return np.mean(vals)
+
+    trainer = Trainer(str(tiny_dataset), str(tmp_path / "d"), cfg)
+
+    # nonzero depth gradients through the full render VJP
+    cam = data.camera(0)
+    td, m = data.depth(0)
+    model = trainer.model
+    s = trainer._settings(0)
+
+    def dterm(pos):
+        _, d, _ = render(s, trainer.tan_fovx, trainer.tan_fovy, 1.0, pos,
+                         model.scales, model.rotations, model.opacities,
+                         model.shs, jnp.asarray(cam["world_to_camera"]),
+                         jnp.asarray(cam["full_proj_matrix"]),
+                         jnp.asarray(cam["camera_center"]),
+                         jnp.zeros(3, jnp.float32), model.alive, jnp.int32(0))
+        return depth_loss(d, jnp.asarray(td), jnp.asarray(m))
+
+    gnorm = float(jnp.linalg.norm(jax.grad(dterm)(model.positions)))
+    assert gnorm > 1e-6, gnorm
+
+    trainer.train()
+    t0 = Trainer(str(tiny_dataset), str(tmp_path / "d0"),
+                 cfg.replace(lambda_depth=0.0))
+    t0.train()
+    sup, unsup = depth_l1(trainer), depth_l1(t0)
+    assert sup < unsup, (sup, unsup)
+
+
+def test_depth_requires_depth_files(tmp_path):
+    """Loud failure when lambda_depth is set but the split has no depth
+    PNGs."""
+    import shutil
+
+    from scripts.make_tiny_nerf import make_dataset
+
+    from gstpu.trainer import Trainer
+
+    path = tmp_path / "nodepth"
+    make_dataset(path, size=32, n_train=2, n_val=1)
+    for p in path.glob("*/*_depth_*.png"):
+        p.unlink()
+    with pytest.raises(FileNotFoundError):
+        Trainer(str(path), str(tmp_path / "o"),
+                _config().replace(lambda_depth=0.5))
+    shutil.rmtree(path)
+
+
+def test_activated_parameterization_trains(tiny_dataset, tmp_path):
+    """Official-3DGS parameterization (exp scales / sigmoid opacities) with
+    the SSIM objective: stored values are logs/logits, render values match
+    the raw init, and a short run trains with finite losses."""
+    import jax
+    import jax.numpy as jnp
+
+    from gstpu.densify import reset_opacities
+    from gstpu.models.gaussians import activate_params, init_model
+    from gstpu.trainer import Trainer
+
+    cfg = _config().replace(parameterization="activated", lambda_dssim=0.2)
+    m = init_model(jax.random.PRNGKey(0), cfg)
+    act = activate_params(m.param_dict(), "activated")
+    np.testing.assert_allclose(np.asarray(act["scales"]), 0.1, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(act["opacities"]), 0.1, rtol=1e-5)
+
+    # activated reset = official min(op, value) in render space
+    m2 = reset_opacities(m, 0.01, "activated")
+    act2 = activate_params(m2.param_dict(), "activated")
+    np.testing.assert_allclose(np.asarray(act2["opacities"])[0], 0.01,
+                               rtol=1e-4)
+    m3 = reset_opacities(m2, 0.5, "activated")  # min: stays at 0.01
+    act3 = activate_params(m3.param_dict(), "activated")
+    np.testing.assert_allclose(np.asarray(act3["opacities"])[0], 0.01,
+                               rtol=1e-4)
+
+    out = tmp_path / "act"
+    trainer = Trainer(str(tiny_dataset), str(out), cfg)
+    trainer.train()
+    losses = [float(x) for x in open(out / "loss.txt")]
+    assert len(losses) == cfg.num_iterations
+    assert all(np.isfinite(x) for x in losses)
+    # stored scales stay in log space (negative for sub-unit scales)
+    alive = np.asarray(trainer.model.alive)
+    assert np.asarray(trainer.model.scales)[alive].mean() < 0.0

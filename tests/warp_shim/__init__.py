@@ -37,3 +37,48 @@ def load_reference():
         sys.path.remove(REFERENCE_DIR)
     assert forward.__file__.startswith(REFERENCE_DIR)
     return forward, backward
+
+
+def load_reference_module(name: str):
+    """Import any other reference module (e.g. 'train', 'loss', 'optimizer')
+    under the shim.  forward/backward are loaded first so shared state
+    ('config', 'utils') resolves consistently."""
+    import importlib
+
+    load_reference()
+    mod = sys.modules.get(name)
+    if mod is not None and getattr(mod, "__file__", "").startswith(
+            REFERENCE_DIR):
+        return mod
+    try:
+        import plyfile  # noqa: F401  (not in this image)
+    except ImportError:
+        # the reference's point_cloud_utils imports plyfile at module level;
+        # checkpoint PLYs are irrelevant to shim-driven comparisons, so a
+        # no-op stub suffices.
+        import types as _t
+
+        stub = _t.ModuleType("plyfile")
+
+        class _PlyElement:
+            @staticmethod
+            def describe(*a, **kw):
+                return None
+
+        class _PlyData:
+            def __init__(self, *a, **kw):
+                pass
+
+            def write(self, *a, **kw):
+                pass
+
+        stub.PlyElement = _PlyElement
+        stub.PlyData = _PlyData
+        sys.modules["plyfile"] = stub
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        mod = importlib.import_module(name)
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+    assert mod.__file__.startswith(REFERENCE_DIR)
+    return mod

@@ -22,9 +22,17 @@ def main():
     parser.add_argument("--lambda-dssim", type=float, default=None,
                         help="SSIM loss weight (official 3DGS uses 0.2; the "
                              "reference's effective value is 0)")
+    parser.add_argument("--lambda-depth", type=float, default=None,
+                        help="masked inverse-depth L1 weight (needs "
+                             "*_depth_*.png files in the split; 0 = off)")
     parser.add_argument("--sh-warmup", type=int, default=None,
                         help="grow active SH degree every N iterations "
                              "(official 3DGS uses 1000; 0/off = reference)")
+    parser.add_argument("--activated", action="store_true",
+                        help="official-3DGS parameterization (exp scales, "
+                             "sigmoid opacities) instead of the reference's "
+                             "raw-clamp scheme; required for --lambda-dssim "
+                             "to train")
     parser.add_argument("--pallas", action="store_true",
                         help="use the Pallas TPU rasterize kernels")
     parser.add_argument("--resume", type=int, default=None,
@@ -44,6 +52,10 @@ def main():
         config = config.replace(num_points=args.num_points)
     if args.lambda_dssim is not None:
         config = config.replace(lambda_dssim=args.lambda_dssim)
+    if args.lambda_depth is not None:
+        config = config.replace(lambda_depth=args.lambda_depth)
+    if args.activated:
+        config = config.replace(parameterization="activated")
     if args.sh_warmup is not None:
         config = config.replace(sh_degree_interval=args.sh_warmup)
 
