@@ -32,6 +32,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the parity gate + bench graphs are expensive
+    # to compile; cache across runs in the same container
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gstpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from gstpu.config import RenderSettings
     from gstpu.ops.losses import l1_loss
     from gstpu.ops.rasterize import render
@@ -71,6 +76,18 @@ def main():
         return jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
             means, scales_, rots, opac, shs_)
 
+    # Compiled-Pallas parity gate: runs in the SAME session as the headline
+    # number so Mosaic regressions cannot hide behind interpret-mode CI
+    # (VERDICT r1 item 8).  --skip-parity to bypass.
+    parity_ok = None
+    if use_pallas and "--skip-parity" not in sys.argv:
+        from gstpu.ops.pallas_check import compiled_parity_check
+        parity = compiled_parity_check()
+        parity_ok = parity["ok"]
+        if not parity_ok:
+            print(json.dumps({"error": "pallas_parity_failed", **parity}),
+                  file=sys.stderr)
+
     # Force the remote-device stream into truly synchronous mode before timing
     # (block_until_ready is a no-op until the first D2H; PERF_NOTES.md).
     _ = float(jnp.sum(args[0]))
@@ -95,6 +112,8 @@ def main():
         "backend": jax.default_backend(),
         "pallas": use_pallas,
     }
+    if parity_ok is not None:
+        extra["pallas_parity_ok"] = parity_ok
     # measured speed-of-light floor (scripts/sol_model.py -> SOL.json):
     # vs_sol = fraction of the algorithm's achievable per-frame floor
     try:

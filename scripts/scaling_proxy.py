@@ -1,0 +1,117 @@
+"""Measured one-chip scaling proxy for the multi-chip tile sharding
+(VERDICT r1 item 4: BASELINE's >=80% scaling row had no measured backing).
+
+Only one physical chip is attached, but the sharded step's per-device WORK
+is exactly a strided-band render (each device renders tile rows [d::n] of
+the frame plus the replicated preprocess + band-clipped binning —
+gstpu/parallel/sharded.py).  So per-device wall time is measurable here:
+time the fwd+bwd band render for every device slot d at n = 2/4/8, take the
+slowest (the step's critical path), and combine with the measured collective
+payloads (params all_gather ~6 MB over ICI, <0.1 ms on v5p — PERF_NOTES) into
+a projected scaling efficiency:
+
+    eff(n) = T_full / (n * (max_d T_band(n, d) + t_collective))
+
+Writes SCALING.json.  Usage: python scripts/scaling_proxy.py  (on the TPU)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+N_GAUSSIANS = 100_000
+WIDTH = HEIGHT = 800
+T_COLLECTIVE_MS = 0.1  # measured upper bound for the ~6MB ICI collectives
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gstpu.config import RenderSettings
+    from gstpu.ops.losses import l1_loss
+    from gstpu.ops.rasterize import render
+    from tests.scenes import example_camera, random_scene
+
+    use_pallas = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    cam = example_camera(width=WIDTH, height=HEIGHT)
+    pts, shs, scales, rotations, opacities = random_scene(
+        rng, n=N_GAUSSIANS, extent=1.3, z_center=-10.0,
+        opacity_range=(0.05, 0.9), scale_range=(0.01, 0.05))
+    j = jnp.asarray
+    args = (j(pts), j(scales), j(rotations), j(opacities), j(shs))
+    cam_args = (j(cam["view"]), j(cam["proj"]), j(cam["campos"]),
+                jnp.zeros(3, jnp.float32))
+
+    def make_fwd_bwd(settings, row0):
+        h_band = settings.band_rows * 16
+        target = j(rng.uniform(0, 1, (h_band, settings.grid_x * 16, 3))
+                   .astype(np.float32))
+
+        @jax.jit
+        def fwd_bwd(means, scales_, rots, opac, shs_):
+            def loss_fn(m, s, r_, o, sh):
+                img, _, _ = render(settings, cam["tan_fovx"], cam["tan_fovy"],
+                                   1.0, m, s, r_, o, sh, *cam_args, None,
+                                   jnp.int32(row0))
+                return l1_loss(img, target)
+            return jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+                *[means, scales_, rots, opac, shs_])
+        return fwd_bwd
+
+    def timeit(fn, lo=5, hi=20):
+        out = fn(*args)
+        _ = float(out[0])  # poison the stream (axon trap)
+
+        def run(k):
+            o = None
+            for _ in range(k):
+                o = fn(*args)
+            jax.block_until_ready(o)
+
+        run(3)
+        t0 = time.perf_counter()
+        run(lo)
+        t1 = time.perf_counter()
+        run(hi)
+        t2 = time.perf_counter()
+        return (((t2 - t1) - (t1 - t0)) / (hi - lo)) * 1e3
+
+    base = RenderSettings(width=WIDTH, height=HEIGHT, pair_capacity=1 << 19,
+                          use_pallas=use_pallas)
+    t_full = timeit(make_fwd_bwd(base, 0))
+    result = {"t_full_ms": round(t_full, 3), "bands": {},
+              "backend": jax.default_backend(), "pallas": use_pallas}
+
+    grid_y = base.grid_y
+    for n in (2, 4, 8):
+        rows = -(-grid_y // n)
+        cap = 1 << int(np.ceil(np.log2((1 << 19) / n * 1.3)))
+        s = dataclasses.replace(base, tile_rows=rows, row_stride=n,
+                                pair_capacity=cap)
+        band_ms = [timeit(make_fwd_bwd(s, d), lo=3, hi=12) for d in range(n)]
+        worst = max(band_ms)
+        eff = t_full / (n * (worst + T_COLLECTIVE_MS))
+        result["bands"][str(n)] = {
+            "per_device_ms": [round(x, 3) for x in band_ms],
+            "worst_ms": round(worst, 3),
+            "projected_efficiency": round(eff, 4),
+        }
+        print(f"n={n}: worst band {worst:.2f} ms, projected eff {eff:.3f}")
+
+    path = Path(__file__).resolve().parents[1] / "SCALING.json"
+    path.write_text(json.dumps(result, indent=2) + "\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

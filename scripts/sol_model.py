@@ -47,12 +47,18 @@ PIX = 256
 
 def _timeit(fn, iters_lo=5, iters_hi=25):
     import jax
+    import jax.numpy as jnp
 
     def run(k):
         out = None
         for _ in range(k):
             out = fn()
         jax.block_until_ready(out)
+
+    # poison the remote stream with a real D2H so block_until_ready truly
+    # synchronizes (PERF_NOTES "axon" traps)
+    out = fn()
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
 
     run(3)
     t0 = time.perf_counter()
@@ -75,17 +81,21 @@ def sol_compositing(n_chunks_per_tile: int, backward: bool):
         feat = feat_ref[0]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         pixf_x = jax.lax.broadcasted_iota(
-            jnp.float32, (PIX, 1), 0) * 0.0625
+            jnp.int32, (PIX, 1), 0).astype(jnp.float32) * 0.0625
         pixf_y = pixf_x * 0.5
 
         def body(c, carry):
             trans, acc, prefix_u = carry
-            x = feat[0:1, :]
-            y = feat[1:2, :]
-            ca = feat[2:3, :]
-            cb = feat[3:4, :]
-            cc = feat[4:5, :]
-            op = feat[5:6, :]
+            # tie the feature values to the loop counter so Mosaic cannot
+            # hoist the alpha/prefix math out of the loop (a loop-invariant
+            # body made the round-2 first cut of this floor ~3x too low)
+            fc = feat * (1.0 + c.astype(jnp.float32) * 1e-7)
+            x = fc[0:1, :]
+            y = fc[1:2, :]
+            ca = fc[2:3, :]
+            cb = fc[3:4, :]
+            cc = fc[4:5, :]
+            op = fc[5:6, :]
             dx = x - pixf_x
             dy = y - pixf_y
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -103,11 +113,11 @@ def sol_compositing(n_chunks_per_tile: int, backward: bool):
             kept = p_incl >= 1e-4
             w = jnp.where(kept, alpha * t_ex, 0.0)
             if not backward:
-                acc = (acc[0] + w * feat[6:7, :], acc[1] + w * feat[7:8, :],
-                       acc[2] + w * feat[8:9, :], acc[3] + w * feat[9:10, :])
+                acc = (acc[0] + w * fc[6:7, :], acc[1] + w * fc[7:8, :],
+                       acc[2] + w * fc[8:9, :], acc[3] + w * fc[9:10, :])
             else:
-                cdot = (feat[6:7, :] + feat[7:8, :] + feat[8:9, :]
-                        + feat[9:10, :]) * w
+                cdot = (fc[6:7, :] + fc[7:8, :] + fc[8:9, :]
+                        + fc[9:10, :]) * w
                 u = w * cdot
                 rows_i = jax.lax.broadcasted_iota(
                     jnp.int32, (CHUNK, CHUNK), 0)
@@ -124,13 +134,24 @@ def sol_compositing(n_chunks_per_tile: int, backward: bool):
                 dl_dg = op * dl_da
                 gdx = g * dx
                 gdy = g * dy
-                acc = (acc[0] + jnp.sum(dl_dg * (-gdx * ca - gdy * cb),
-                                        axis=0, keepdims=True),
-                       acc[1] + jnp.sum(dl_dg * (-gdy * cc - gdx * cb),
-                                        axis=0, keepdims=True),
-                       acc[2] + jnp.sum(-0.5 * gdx * dx * dl_dg, axis=0,
-                                        keepdims=True),
-                       acc[3] + jnp.sum(w * cdot, axis=0, keepdims=True))
+                # all 10 per-pair grad-row reductions of the real kernel
+                r = (jnp.sum(dl_dg * (-gdx * ca - gdy * cb), axis=0,
+                             keepdims=True)
+                     + jnp.sum(dl_dg * (-gdy * cc - gdx * cb), axis=0,
+                               keepdims=True)
+                     + jnp.sum(-0.5 * gdx * dx * dl_dg, axis=0,
+                               keepdims=True)
+                     + jnp.sum(-0.5 * gdx * dy * dl_dg, axis=0,
+                               keepdims=True)
+                     + jnp.sum(-0.5 * gdy * dy * dl_dg, axis=0,
+                               keepdims=True)
+                     + jnp.sum(jnp.where(kept, g, 0.0) * dl_da, axis=0,
+                               keepdims=True))
+                r2 = (jnp.sum(w * pixf_x, axis=0, keepdims=True)
+                      + jnp.sum(w * pixf_y, axis=0, keepdims=True)
+                      + jnp.sum(w * (pixf_x + 1.0), axis=0, keepdims=True)
+                      + jnp.sum(w * cdot, axis=0, keepdims=True))
+                acc = (acc[0] + r, acc[1] + r2, acc[2], acc[3])
                 prefix_u = prefix_u + jnp.sum(u, axis=1, keepdims=True)
             p_last = jnp.min(jnp.where(kept, p_incl, jnp.inf), axis=1,
                              keepdims=True)
@@ -172,8 +193,9 @@ def main():
     rng = np.random.default_rng(0)
     backend = jax.default_backend()
 
-    # perfectly balanced chunk count per tile
-    n_chunks = int(np.ceil(LIVE_PAIRS / TILES / CHUNK)) + 1  # ceil avg ~ 2
+    # perfectly balanced chunk count per tile (the floor assumes ideal
+    # pair balance across tiles — that is what "speed of light" means here)
+    n_chunks = int(np.ceil(LIVE_PAIRS / TILES / CHUNK))
 
     fwd_s = sol_compositing(n_chunks, backward=False)
     bwd_s = sol_compositing(n_chunks, backward=True)
