@@ -48,6 +48,24 @@ class RenderSettings:
     # Use the Pallas TPU kernels for the rasterize hot loops instead of the
     # pure-XLA path.
     use_pallas: bool = False
+    # Shrink tile rects to each Gaussian's exact alpha >= 1/255 reach
+    # (r_cut = sqrt(2 ln(255 op)) sigma_max; see ops/preprocess.py).  Leaves
+    # the image and all gradients unchanged to f32 reassociation (removed
+    # pairs contribute exact zeros) while cutting pair counts
+    # (the savings grow as opacities drop, e.g. after opacity resets), but
+    # changes radii/n_contrib bookkeeping values — strict-parity tests keep
+    # it off; the trainer and bench enable it.
+    tight_radius: bool = False
+    # Static size of the Pallas kernels' 128-aligned pair layout, expressed
+    # as extra tiles of padding: aligned capacity = pair_capacity +
+    # aligned_slack_tiles*128.  None = one pad-slot block per tile (the safe
+    # worst case; costs scale with it — the epilogue scatter-add alone is
+    # ~15 ns/row).  Scenes whose pairs concentrate into few tiles (or whose
+    # per-tile counts are known) can run much tighter; tiles that would
+    # overflow the aligned capacity are dropped for that frame (callers
+    # monitor RenderAux.aligned_pairs and re-trace bigger, like the pair
+    # capacity itself).
+    aligned_slack_tiles: int | None = None
     # Run the Pallas kernels in interpreter mode (CPU testing only).
     pallas_interpret: bool = False
     # Rasterize only a band of `tile_rows` tile rows (None = the full grid).

@@ -37,18 +37,33 @@ from gstpu.ops.preprocess import PreprocessOut
 from gstpu.ops.rasterize import ALPHA_MAX, ALPHA_MIN, T_EPS
 
 CHUNK = 128
+# Chunks per DMA transfer.  Measured on the attached chip: each in-kernel DMA
+# start+wait costs ~1.5 us of scalar-core overhead while a 128-pair chunk's
+# vector math costs ~1.3 us — a chunk-granular pipeline spends HALF the
+# kernel on DMA machinery (the round-1 kernels did; a no-DMA variant of the
+# same body hit the SOL.json compositing floor exactly).  Block transfers
+# amortize the fixed DMA cost 4x; compute stays chunk-granular (static
+# sub-slices), so the only cost is rounding small tiles up to BLOCK pairs.
+BLOCK_CHUNKS = 4
+BLOCK = BLOCK_CHUNKS * CHUNK
 FEAT_ROWS = 16  # x, y, conic_a, conic_b, conic_c, opacity, r, g, b, inv_depth
 GRAD_ROWS = 16  # dmean2d_x, dmean2d_y, dconic_a, dconic_b, dconic_c, dopac,
 #                 dcolor_r, dcolor_g, dcolor_b
 
 
-def _aligned_layout(pairs: Pairs, num_tiles: int):
+def _aligned_layout(pairs: Pairs, num_tiles: int,
+                    slack_tiles: int | None = None):
     """Re-layout the sorted pair list so every tile starts 128-aligned.
 
     Mosaic requires provably lane-aligned dynamic slices; aligning each
     tile's range to CHUNK also makes every DMA a full-tile transfer.  Returns
-    (aligned_start (T,), src (K',), valid (K',)) where K' = K + T*CHUNK
-    (static) and src indexes the original sorted pair order.
+    (aligned_start (T,), src (K',), valid (K',), count_eff (T,),
+    aligned_pairs ()) where K' = K + slack_tiles*CHUNK (static; slack_tiles
+    defaults to the worst case, one pad block per tile) and src indexes the
+    original sorted pair order.  Tiles whose aligned span would exceed K'
+    are DROPPED for this trace (count_eff = 0) and ``aligned_pairs`` reports
+    the true requirement so callers can re-trace bigger — the aligned analog
+    of the pair-capacity overflow contract.
 
     Implemented scatter+scan style (binning.py module docstring): slot q's
     tile-start and per-tile offsets are forward-filled down the K' axis by
@@ -59,10 +74,22 @@ def _aligned_layout(pairs: Pairs, num_tiles: int):
 
     count = pairs.tile_count
     k = pairs.gauss_id.shape[0]
+    if slack_tiles is None:
+        slack_tiles = num_tiles
     acount = ((count + CHUNK - 1) // CHUNK) * CHUNK
     cum_incl = jnp.cumsum(acount)
     astart = cum_incl - acount
-    k_aligned = k + num_tiles * CHUNK
+    # + (BLOCK - CHUNK): the kernels transfer BLOCK-wide slices, so the last
+    # tile's final block may read past its aligned span — keep it in bounds
+    k_aligned = k + slack_tiles * CHUNK + (BLOCK - CHUNK)
+    usable = k_aligned - (BLOCK - CHUNK)
+    aligned_pairs = cum_incl[num_tiles - 1]
+    fits = cum_incl <= usable
+    count_eff = jnp.where(fits, count, 0).astype(jnp.int32)
+    # dropped tiles park at ``usable`` (one past the last kept slot): their
+    # zero counts keep the kernels from ever issuing a DMA there, and the
+    # fill/run scans below must not see them inside a kept tile's span
+    astart = jnp.where(fits, astart, usable)
     q = jnp.arange(k_aligned, dtype=jnp.int32)
     within = q - run_starts(astart[1:], k_aligned)
     # src = tile_start[tile] + within = q + (tile_start - astart)[tile]
@@ -71,10 +98,11 @@ def _aligned_layout(pairs: Pairs, num_tiles: int):
         pairs.tile_start - astart, k_aligned)
     count_q = fill_by_offsets(
         jnp.concatenate([jnp.zeros(1, jnp.int32), astart[1:]]),
-        count, k_aligned)
-    valid = (q < cum_incl[num_tiles - 1]) & (within < count_q)
+        count_eff, k_aligned)
+    valid = (q < jnp.minimum(aligned_pairs, usable)) & (within < count_q)
     src = jnp.clip(src, 0, k - 1)
-    return astart.astype(jnp.int32), src, valid
+    return (astart.astype(jnp.int32), src, valid, count_eff,
+            aligned_pairs.astype(jnp.int32))
 
 
 def _build_feat(prep: PreprocessOut, pairs: Pairs, src, valid) -> jnp.ndarray:
@@ -160,10 +188,10 @@ def _prefix_products(trans, alpha_eff, lanes):
     return p_incl, t_ex
 
 
-def _feat_dma(feat_hbm, feat_vmem, sem, start, c, slot: int):
-    """Descriptor for the chunk-c feature DMA into static slot ``slot``."""
-    s = pl.multiple_of(start + c * CHUNK, CHUNK)
-    return pltpu.make_async_copy(feat_hbm.at[:, pl.ds(s, CHUNK)],
+def _feat_dma(feat_hbm, feat_vmem, sem, start, b, slot: int):
+    """Descriptor for the block-b feature DMA into static slot ``slot``."""
+    s = pl.multiple_of(start + b * BLOCK, CHUNK)
+    return pltpu.make_async_copy(feat_hbm.at[:, pl.ds(s, BLOCK)],
                                  feat_vmem.at[slot], sem.at[slot])
 
 
@@ -171,9 +199,12 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
                 row0_ref, feat_hbm, out_ref, feat_vmem, sem):
     """Forward compositing, one 16x16 tile per grid step.
 
-    The chunk loop is unrolled 2x with STATIC ping-pong DMA slots (dynamic
-    VMEM leading-index reads lower poorly in Mosaic), prefetching chunk c+2
-    while chunk c+1 computes.  Color/depth/n_contrib accumulate as full
+    The loop advances one BLOCK (BLOCK_CHUNKS chunks, one DMA) per iteration
+    with the VMEM slot selected by block parity: DMA waits/starts sit in
+    pl.when branches with STATIC slot indices, and the feature block is a
+    vector select over both slots (reading the inactive, possibly mid-DMA
+    slot is safe — its lanes are discarded).  Compute stays chunk-granular
+    via static sub-slices.  Color/depth/n_contrib accumulate as full
     (256, C) carries and reduce across lanes ONCE after the loop — the only
     per-chunk lane reduction is the transmittance min (a true sequential
     dependency).
@@ -188,17 +219,14 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
     def _():
         _feat_dma(feat_hbm, feat_vmem, sem, start, 0, 0).start()
 
-    @pl.when(CHUNK < count)
+    @pl.when(BLOCK < count)
     def _():
         _feat_dma(feat_hbm, feat_vmem, sem, start, 1, 1).start()
 
-    def one_chunk(c, slot: int, trans, cacc, dacc, last):
-        """Composite one chunk from a static VMEM slot; returns new carries.
-
-        Safe to run on a never-DMA'd (stale) slot: every per-pair term is
-        masked by ``lane_valid = pos < count``, which is all-False then.
-        """
-        feat = feat_vmem[slot]
+    def one_chunk(feat, c, trans, cacc, dacc, last):
+        """Composite one chunk from a (FEAT_ROWS, CHUNK) slice; safe on
+        never-DMA'd (stale) data: every per-pair term is masked by
+        ``lane_valid = pos < count``, which is all-False then."""
         pos = c * CHUNK + lanes                           # (1, C)
         lane_valid = pos < count
         alpha_eff, indiv, _, _, _, _, _ = _chunk_alpha_vmem(
@@ -219,47 +247,62 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         return trans, cacc, dacc, last
 
     def body(carry):
-        (j, trans, cacc, dacc, last) = carry
-        c0 = 2 * j
-        _feat_dma(feat_hbm, feat_vmem, sem, start, c0, 0).wait()
-        trans, cacc, dacc, last = one_chunk(c0, 0, trans, cacc, dacc, last)
+        (b, trans, cacc, dacc, last) = carry
+        even = b % 2 == 0
 
-        # slot 0 is free again: prefetch c0+2 while c0+1 computes
-        @pl.when((c0 + 2) * CHUNK < count)
+        @pl.when(even)
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, start, c0 + 2, 0).start()
+            _feat_dma(feat_hbm, feat_vmem, sem, start, b, 0).wait()
 
-        @pl.when((c0 + 1) * CHUNK < count)
+        @pl.when(jnp.logical_not(even))
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, start, c0 + 1, 1).wait()
+            _feat_dma(feat_hbm, feat_vmem, sem, start, b, 1).wait()
 
-        trans, cacc, dacc, last = one_chunk(c0 + 1, 1, trans, cacc, dacc,
-                                            last)
+        feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
+        for u in range(BLOCK_CHUNKS):
+            trans, cacc, dacc, last = one_chunk(
+                feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
+                b * BLOCK_CHUNKS + u, trans, cacc, dacc, last)
 
-        @pl.when((c0 + 3) * CHUNK < count)
+        # the consumed slot is free: prefetch block b+2 into it
+        @pl.when(even & ((b + 2) * BLOCK < count))
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, start, c0 + 3, 1).start()
+            _feat_dma(feat_hbm, feat_vmem, sem, start, b + 2, 0).start()
 
-        return (j + 1, trans, cacc, dacc, last)
+        @pl.when(jnp.logical_not(even) & ((b + 2) * BLOCK < count))
+        def _():
+            _feat_dma(feat_hbm, feat_vmem, sem, start, b + 2, 1).start()
+
+        return (b + 1, trans, cacc, dacc, last)
 
     def cond(carry):
-        j, trans = carry[0], carry[1]
-        return (2 * j * CHUNK < count) & (jnp.max(trans) >= T_EPS)
+        b, trans = carry[0], carry[1]
+        return (b * BLOCK < count) & (jnp.max(trans) >= T_EPS)
 
     zc = jnp.zeros((TILE_PIXELS, CHUNK), jnp.float32)
     init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
             (zc, zc, zc), zc, jnp.zeros((TILE_PIXELS, CHUNK), jnp.int32))
-    (j_end, trans, cacc, dacc, last) = jax.lax.while_loop(cond, body, init)
+    (b_end, trans, cacc, dacc, last) = jax.lax.while_loop(cond, body, init)
 
     # early exit (or count == 0 skip) can leave prefetched DMAs un-waited;
-    # drain them so the next grid step's slot reuse is safe.
-    @pl.when(2 * j_end * CHUNK < count)
-    def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, start, 2 * j_end, 0).wait()
+    # drain them (block x rides slot x % 2) so slot reuse stays safe.
+    even_end = b_end % 2 == 0
 
-    @pl.when((2 * j_end + 1) * CHUNK < count)
+    @pl.when((b_end * BLOCK < count) & even_end)
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, start, 2 * j_end + 1, 1).wait()
+        _feat_dma(feat_hbm, feat_vmem, sem, start, b_end, 0).wait()
+
+    @pl.when((b_end * BLOCK < count) & jnp.logical_not(even_end))
+    def _():
+        _feat_dma(feat_hbm, feat_vmem, sem, start, b_end, 1).wait()
+
+    @pl.when(((b_end + 1) * BLOCK < count) & even_end)
+    def _():
+        _feat_dma(feat_hbm, feat_vmem, sem, start, b_end + 1, 1).wait()
+
+    @pl.when(((b_end + 1) * BLOCK < count) & jnp.logical_not(even_end))
+    def _():
+        _feat_dma(feat_hbm, feat_vmem, sem, start, b_end + 1, 0).wait()
 
     # pack results as rows of the (1, 8, 256) output block; n_contrib rides
     # as bitcast float bits (exact int32 round trip)
@@ -274,15 +317,17 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
     out_ref[0, 7, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
 
 
-def prepare_layout(prep: PreprocessOut, pairs: Pairs, num_tiles: int):
+def prepare_layout(prep: PreprocessOut, pairs: Pairs, num_tiles: int,
+                   slack_tiles: int | None = None):
     """Aligned layout + feature matrix, shared between forward and backward.
 
     The render custom-VJP stashes this in its residuals so the backward pass
     does not rebuild the (16, K') feature matrix.
     """
-    astart, src, valid = _aligned_layout(pairs, num_tiles)
+    astart, src, valid, count_eff, aligned_pairs = _aligned_layout(
+        pairs, num_tiles, slack_tiles)
     feat = _build_feat(prep, pairs, src, valid)
-    return astart, src, valid, feat
+    return astart, src, valid, feat, count_eff, aligned_pairs
 
 
 def composite_forward(prep: PreprocessOut, pairs: Pairs,
@@ -290,7 +335,8 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
                       layout=None):
     """Pallas forward compositing; same contract as rasterize.composite_forward."""
     t = settings.band_tiles
-    astart, src, valid, feat = layout or prepare_layout(prep, pairs, t)
+    astart, src, valid, feat, count_eff, _ = layout or prepare_layout(
+        prep, pairs, t, settings.aligned_slack_tiles)
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -299,7 +345,7 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, 8, TILE_PIXELS), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, FEAT_ROWS, BLOCK), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     packed = pl.pallas_call(
@@ -307,7 +353,7 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, 8, TILE_PIXELS), jnp.float32),
         interpret=interpret,
-    )(astart, pairs.tile_count, row0_arr, feat)
+    )(astart, count_eff, row0_arr, feat)
     color = jnp.stack([packed[:, 0], packed[:, 1], packed[:, 2]], axis=-1)
     d = packed[:, 3]
     final_t = packed[:, 4]
@@ -322,9 +368,12 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
 def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
                 row0_ref, feat_hbm, pix_in, grads_hbm, processed_ref,
                 feat_vmem, grad_vmem, sem_in, sem_out):
-    """Backward compositing; same 2x-unrolled static ping-pong as the forward,
-    with a second double-buffered DMA pipeline draining per-pair gradients
-    back to HBM (disjoint per-tile slices — the no-atomics design)."""
+    """Backward compositing; same block-granular parity pipeline as the
+    forward, with a second ping-pong DMA pipeline draining per-pair gradient
+    BLOCKs back to HBM (per-tile slices; a block may straddle into the next
+    tile's aligned span — safe because this tile's out-DMAs are drained
+    before the next grid step writes, and the next tile then overwrites the
+    straddled slots with its own values — no atomics anywhere)."""
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
@@ -340,24 +389,23 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
     ct_b = pix_in[0, 5, :].reshape(TILE_PIXELS, 1)
     ct_d = pix_in[0, 6, :].reshape(TILE_PIXELS, 1)   # depth cotangent
 
-    def out_dma(c, slot: int):
-        s = pl.multiple_of(start + c * CHUNK, CHUNK)
+    def out_dma(b, slot: int):
+        s = pl.multiple_of(start + b * BLOCK, CHUNK)
         return pltpu.make_async_copy(grad_vmem.at[slot],
-                                     grads_hbm.at[:, pl.ds(s, CHUNK)],
+                                     grads_hbm.at[:, pl.ds(s, BLOCK)],
                                      sem_out.at[slot])
 
     @pl.when(count > 0)
     def _():
         _feat_dma(feat_hbm, feat_vmem, sem_in, start, 0, 0).start()
 
-    @pl.when(CHUNK < count)
+    @pl.when(BLOCK < count)
     def _():
         _feat_dma(feat_hbm, feat_vmem, sem_in, start, 1, 1).start()
 
-    def one_chunk(j, c, slot: int, trans, prefix_u):
-        """Gradients for one chunk; writes grad_vmem[slot] and starts its
-        out-DMA.  Stale-slot safe (all terms masked by lane_valid)."""
-        feat = feat_vmem[slot]
+    def one_chunk(feat, c, trans, prefix_u):
+        """Gradient rows for one chunk; stale-data safe (all terms masked by
+        lane_valid).  Returns (rows tuple, new carries)."""
         pos = c * CHUNK + lanes
         lane_valid = pos < count
         alpha_eff, indiv, g, dx, dy, (ca, cb, cc), op = _chunk_alpha_vmem(
@@ -394,94 +442,128 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         dg_ddelx = -gdx * ca - gdy * cb
         dg_ddely = -gdy * cc - gdx * cb
 
-        # wait until the grad slot we are about to overwrite has drained
-        @pl.when(j >= 1)
-        def _():
-            out_dma(c - 2, slot).wait()
-
         # per-pair sums over the 256 pixels (sublane reductions).  (A
         # moment-basis MXU factorization of these sums was benchmarked at
         # parity — the kernel is not reduction-bound — and was dropped for
         # its reassociation error; see commit history.)
-        grad_vmem[slot, 0, :] = jnp.sum(dl_dg * dg_ddelx, axis=0)
-        grad_vmem[slot, 1, :] = jnp.sum(dl_dg * dg_ddely, axis=0)
-        grad_vmem[slot, 2, :] = jnp.sum(-0.5 * gdx * dx * dl_dg, axis=0)
-        grad_vmem[slot, 3, :] = jnp.sum(-0.5 * gdx * dy * dl_dg, axis=0)
-        grad_vmem[slot, 4, :] = jnp.sum(-0.5 * gdy * dy * dl_dg, axis=0)
-        grad_vmem[slot, 5, :] = jnp.sum(
-            jnp.where(kept, g, 0.0) * dl_dalpha, axis=0)
-        grad_vmem[slot, 6, :] = jnp.sum(w * ct_r, axis=0)
-        grad_vmem[slot, 7, :] = jnp.sum(w * ct_g, axis=0)
-        grad_vmem[slot, 8, :] = jnp.sum(w * ct_b, axis=0)
-        grad_vmem[slot, 9, :] = jnp.sum(w * ct_d, axis=0)   # d inv_depth
-        grad_vmem[slot, 10:, :] = jnp.zeros((GRAD_ROWS - 10, CHUNK),
-                                            jnp.float32)
-
-        # chunks beyond the tile's aligned range must not write (their HBM
-        # slice belongs to the next tile)
-        @pl.when(c * CHUNK < count)
-        def _():
-            out_dma(c, slot).start()
+        rows = (
+            jnp.sum(dl_dg * dg_ddelx, axis=0),
+            jnp.sum(dl_dg * dg_ddely, axis=0),
+            jnp.sum(-0.5 * gdx * dx * dl_dg, axis=0),
+            jnp.sum(-0.5 * gdx * dy * dl_dg, axis=0),
+            jnp.sum(-0.5 * gdy * dy * dl_dg, axis=0),
+            jnp.sum(jnp.where(kept, g, 0.0) * dl_dalpha, axis=0),
+            jnp.sum(w * ct_r, axis=0),
+            jnp.sum(w * ct_g, axis=0),
+            jnp.sum(w * ct_b, axis=0),
+            jnp.sum(w * ct_d, axis=0),                      # d inv_depth
+        )
 
         p_kept = jnp.where(kept, p_incl, jnp.inf)
         p_last = jnp.min(p_kept, axis=1, keepdims=True)
         trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
         prefix_u = prefix_u + jnp.sum(u, axis=1, keepdims=True)
-        return trans, prefix_u
+        return rows, trans, prefix_u
 
     def body(carry):
-        (j, trans, prefix_u) = carry
-        c0 = 2 * j
-        _feat_dma(feat_hbm, feat_vmem, sem_in, start, c0, 0).wait()
-        trans, prefix_u = one_chunk(j, c0, 0, trans, prefix_u)
+        (b, trans, prefix_u) = carry
+        even = b % 2 == 0
 
-        @pl.when((c0 + 2) * CHUNK < count)
+        @pl.when(even)
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem_in, start, c0 + 2, 0).start()
+            _feat_dma(feat_hbm, feat_vmem, sem_in, start, b, 0).wait()
 
-        @pl.when((c0 + 1) * CHUNK < count)
+        @pl.when(jnp.logical_not(even))
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem_in, start, c0 + 1, 1).wait()
+            _feat_dma(feat_hbm, feat_vmem, sem_in, start, b, 1).wait()
 
-        trans, prefix_u = one_chunk(j, c0 + 1, 1, trans, prefix_u)
+        feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
+        all_rows = []
+        for u in range(BLOCK_CHUNKS):
+            rows, trans, prefix_u = one_chunk(
+                feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
+                b * BLOCK_CHUNKS + u, trans, prefix_u)
+            all_rows.append(rows)
 
-        @pl.when((c0 + 3) * CHUNK < count)
+        def write_and_send(slot: int):
+            # the slot being overwritten drained two blocks ago
+            @pl.when(b >= 2)
+            def _():
+                out_dma(b - 2, slot).wait()
+
+            for u, rows in enumerate(all_rows):
+                for i, r in enumerate(rows):
+                    grad_vmem[slot, i, u * CHUNK:(u + 1) * CHUNK] = r
+                grad_vmem[slot, 10:, u * CHUNK:(u + 1) * CHUNK] = \
+                    jnp.zeros((GRAD_ROWS - 10, CHUNK), jnp.float32)
+            out_dma(b, slot).start()
+
+            # the freed in-slot prefetches block b+2
+            @pl.when((b + 2) * BLOCK < count)
+            def _():
+                _feat_dma(feat_hbm, feat_vmem, sem_in, start, b + 2,
+                          slot).start()
+
+        @pl.when(even)
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem_in, start, c0 + 3, 1).start()
+            write_and_send(0)
 
-        return (j + 1, trans, prefix_u)
+        @pl.when(jnp.logical_not(even))
+        def _():
+            write_and_send(1)
+
+        return (b + 1, trans, prefix_u)
 
     def cond(carry):
-        j, trans = carry[0], carry[1]
-        return (2 * j * CHUNK < count) & (jnp.max(trans) >= T_EPS)
+        b, trans = carry[0], carry[1]
+        return (b * BLOCK < count) & (jnp.max(trans) >= T_EPS)
 
     init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
             jnp.zeros((TILE_PIXELS, 1), jnp.float32))
-    (j_end, _, _) = jax.lax.while_loop(cond, body, init)
+    (b_end, _, _) = jax.lax.while_loop(cond, body, init)
 
-    # drain un-waited prefetched input DMAs ...
-    @pl.when(2 * j_end * CHUNK < count)
-    def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, start, 2 * j_end, 0).wait()
+    # drain un-waited prefetched input DMAs (block x rides slot x % 2) ...
+    even_end = b_end % 2 == 0
 
-    @pl.when((2 * j_end + 1) * CHUNK < count)
+    @pl.when((b_end * BLOCK < count) & even_end)
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, start, 2 * j_end + 1, 1).wait()
+        _feat_dma(feat_hbm, feat_vmem, sem_in, start, b_end, 0).wait()
 
-    # ... and the last body's two output DMAs (started iff their chunk was in
-    # the tile's range)
-    @pl.when((j_end >= 1) & ((2 * j_end - 2) * CHUNK < count))
+    @pl.when((b_end * BLOCK < count) & jnp.logical_not(even_end))
     def _():
-        out_dma(2 * j_end - 2, 0).wait()
+        _feat_dma(feat_hbm, feat_vmem, sem_in, start, b_end, 1).wait()
 
-    @pl.when((j_end >= 1) & ((2 * j_end - 1) * CHUNK < count))
+    @pl.when(((b_end + 1) * BLOCK < count) & even_end)
     def _():
-        out_dma(2 * j_end - 1, 1).wait()
+        _feat_dma(feat_hbm, feat_vmem, sem_in, start, b_end + 1, 1).wait()
+
+    @pl.when(((b_end + 1) * BLOCK < count) & jnp.logical_not(even_end))
+    def _():
+        _feat_dma(feat_hbm, feat_vmem, sem_in, start, b_end + 1, 0).wait()
+
+    # ... and the last two blocks' output DMAs (every processed block
+    # started one; block x rides slot x % 2, so b_end-2 shares b_end's
+    # parity and b_end-1 the opposite)
+    @pl.when((b_end >= 2) & even_end)
+    def _():
+        out_dma(b_end - 2, 0).wait()
+
+    @pl.when((b_end >= 2) & jnp.logical_not(even_end))
+    def _():
+        out_dma(b_end - 2, 1).wait()
+
+    @pl.when((b_end >= 1) & even_end)
+    def _():
+        out_dma(b_end - 1, 1).wait()
+
+    @pl.when((b_end >= 1) & jnp.logical_not(even_end))
+    def _():
+        out_dma(b_end - 1, 0).wait()
 
     # Early exit leaves this tile's remaining pair slots unwritten (garbage)
     # in the ANY-space output; report the processed pair count so the caller
     # masks them out of the segment sum (no serial zero-fill DMA tail).
-    processed_ref[0, :, :] = jnp.full((8, 128), 2 * j_end * CHUNK, jnp.int32)
+    processed_ref[0, :, :] = jnp.full((8, 128), b_end * BLOCK, jnp.int32)
 
 
 def composite_backward(prep: PreprocessOut, pairs: Pairs,
@@ -493,7 +575,8 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
     (inverse depth rides as a 4th composited channel; feature row 9)."""
     n = prep.xy.shape[0]
     t = settings.band_tiles
-    astart, src, valid, feat = layout or prepare_layout(prep, pairs, t)
+    astart, src, valid, feat, count_eff, _ = layout or prepare_layout(
+        prep, pairs, t, settings.aligned_slack_tiles)
     k_aligned = feat.shape[1]
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
 
@@ -517,8 +600,8 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                    pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
                                 memory_space=pltpu.VMEM)],
-        scratch_shapes=[pltpu.VMEM((2, FEAT_ROWS, CHUNK), jnp.float32),
-                        pltpu.VMEM((2, GRAD_ROWS, CHUNK), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, FEAT_ROWS, BLOCK), jnp.float32),
+                        pltpu.VMEM((2, GRAD_ROWS, BLOCK), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
     )
@@ -529,7 +612,7 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
                    jax.ShapeDtypeStruct((t, 8, 128), jnp.int32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(astart, pairs.tile_count, row0_arr, feat, pix)
+    )(astart, count_eff, row0_arr, feat, pix)
 
     # Mask slots the kernel never wrote (garbage in the ANY-space output):
     # alignment padding, beyond the last tile, and pairs past a tile's

@@ -353,7 +353,7 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
                       view, proj, campos, settings.width, settings.height,
                       tan_fovx, tan_fovy, settings.grid_x, settings.grid_y,
                       settings.sh_degree, scale_modifier=scale_modifier,
-                      alive=alive)
+                      alive=alive, tight_radius=settings.tight_radius)
     rect_band, tiles_band = clip_rect_to_band(prep.rect, prep.tiles_touched,
                                               row0, settings.band_rows,
                                               settings.row_stride)
@@ -363,8 +363,8 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
     layout = None
     if settings.use_pallas:
         from gstpu.ops import pallas_rasterize
-        layout = pallas_rasterize.prepare_layout(prep, pairs,
-                                                 settings.band_tiles)
+        layout = pallas_rasterize.prepare_layout(
+            prep, pairs, settings.band_tiles, settings.aligned_slack_tiles)
         color, dacc, final_t, n_contrib = pallas_rasterize.composite_forward(
             prep, pairs, settings, row0=row0,
             interpret=settings.pallas_interpret, layout=layout)

@@ -90,10 +90,8 @@ class Trainer:
         self.adam = init_adam_state(self.model.param_dict())
         self.iteration = 0
         self.losses: list[float] = []
-        self._pair_capacity = int(
-            2 ** np.ceil(np.log2(max(
-                self.model.capacity * self.config.pair_capacity_per_gaussian,
-                1 << 14))))
+        self._pair_capacity = self._round_capacity(
+            self.model.capacity * self.config.pair_capacity_per_gaussian)
         self._metrics_file = open(self.output_path / "metrics.jsonl", "a")
         self._densify_jit = jax.jit(densify_mod.densify_and_prune,
                                     static_argnums=(2, 3))
@@ -147,6 +145,14 @@ class Trainer:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), model)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _round_capacity(pairs: float) -> int:
+        """Pair capacity = requested pairs rounded UP to 32k (round 1 used
+        next-pow2, wasting up to 2x — every capacity-sized stage pays for
+        the waste: binning scans, feature gathers, the grad scatter-add)."""
+        return max(-(-int(pairs) // 32768) * 32768, 1 << 14)
+
+    # ------------------------------------------------------------------
     def _scene_extent(self) -> float:
         """Camera-bounding-sphere radius, min 1.0 (train.py:233-257)."""
         centers = np.stack([c["camera_center"] for c in self.train_data.cameras])
@@ -165,7 +171,8 @@ class Trainer:
         return RenderSettings(width=self.width, height=self.height,
                               sh_degree=degree,
                               pair_capacity=self._pair_capacity,
-                              use_pallas=self.use_pallas)
+                              use_pallas=self.use_pallas,
+                              tight_radius=True)
 
     @functools.lru_cache(maxsize=8)
     def _sharded_step(self, settings: RenderSettings):
@@ -319,16 +326,15 @@ class Trainer:
                            "max_pairs": max_pairs,
                            "capacity": self._pair_capacity})
             if max_pairs > self._pair_capacity:
-                self._pair_capacity = int(2 ** np.ceil(np.log2(max_pairs * 2)))
+                self._pair_capacity = self._round_capacity(max_pairs * 1.5)
                 self._log({"event": "pair_capacity_grow",
                            "iteration": pending[-1][0],
                            "capacity": self._pair_capacity})
-            elif max_pairs and max_pairs * 4 <= self._pair_capacity:
+            elif max_pairs and max_pairs * 2.5 <= self._pair_capacity:
                 # binning/feature/scatter costs scale with CAPACITY, not the
-                # live pair count — shrink (recompile) when 4x over-provisioned
+                # live pair count — shrink (recompile) when over-provisioned
                 # (e.g. after opacity resets collapse the splats)
-                self._pair_capacity = max(
-                    int(2 ** np.ceil(np.log2(max_pairs * 2))), 1 << 14)
+                self._pair_capacity = self._round_capacity(max_pairs * 1.5)
                 self._log({"event": "pair_capacity_shrink",
                            "iteration": pending[-1][0],
                            "capacity": self._pair_capacity})

@@ -82,7 +82,8 @@ def main():
     print(f"aligned_layout: {timeit(align_fn, pairs):8.2f} ms")
 
     feat_fn = jax.jit(lambda p, pr: pallas_rasterize._build_feat(
-        pr, p, *pallas_rasterize._aligned_layout(p, settings.num_tiles)[1:]))
+        pr, p,
+        *pallas_rasterize._aligned_layout(p, settings.num_tiles)[1:3]))
     print(f"align+feat:     {timeit(feat_fn, pairs, prep):8.2f} ms")
 
     fwd_pallas = jax.jit(lambda pr, p: pallas_rasterize.composite_forward(

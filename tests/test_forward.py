@@ -124,3 +124,50 @@ def test_matrix_to_quaternion_roundtrip():
     q2 = np.asarray(matrix_to_quaternion(R))
     sign = np.sign(np.sum(q2 * q, axis=-1, keepdims=True))
     np.testing.assert_allclose(q2 * sign, q, atol=2e-3)
+
+
+def test_tight_radius_is_exact():
+    """tight_radius shrinks tile rects to the alpha >= 1/255 reach: images
+    and gradients are unchanged to f32 reassociation (removed pairs
+    contribute exact zeros; their removal shifts chunk boundaries), and
+    pair counts drop."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gstpu.config import RenderSettings
+    from gstpu.ops.rasterize import render
+
+    rng = np.random.default_rng(5)
+    cam = scenes.example_camera(width=64, height=64)
+    pts, shs, scales, rotations, opacities = scenes.random_scene(
+        rng, n=60, opacity_range=(0.01, 0.6))  # low opacity: big savings
+    j = jnp.asarray
+    base = RenderSettings(width=64, height=64, pair_capacity=1 << 13)
+    tight = dataclasses.replace(base, tight_radius=True)
+    ct = j(rng.normal(0, 1, (64, 64, 3)).astype(np.float32))
+
+    outs = {}
+    for name, s in (("base", base), ("tight", tight)):
+        def f(*params, s=s):
+            img, _, aux = render(s, cam["tan_fovx"], cam["tan_fovy"], 1.0,
+                                 *params, j(cam["view"]), j(cam["proj"]),
+                                 j(cam["campos"]), jnp.zeros(3, jnp.float32),
+                                 None, jnp.int32(0))
+            return jnp.sum(img * ct), (img, aux)
+        (_, (img, aux)), grads = jax.value_and_grad(
+            f, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+            j(pts), j(scales), j(rotations), j(opacities), j(shs))
+        outs[name] = (np.asarray(img), [np.asarray(g) for g in grads],
+                      int(aux.num_pairs))
+
+    img_b, grads_b, pairs_b = outs["base"]
+    img_t, grads_t, pairs_t = outs["tight"]
+    assert pairs_t < pairs_b, (pairs_t, pairs_b)  # pairs actually culled
+    # removed pairs contribute exact zeros, but their removal shifts chunk
+    # boundaries, reassociating the f32 carries -> 1-ulp level differences
+    np.testing.assert_allclose(img_t, img_b, atol=1e-6)
+    for gb, gt in zip(grads_b, grads_t):
+        scale = max(np.max(np.abs(gb)), 1e-8)
+        np.testing.assert_allclose(gt / scale, gb / scale, atol=1e-6)

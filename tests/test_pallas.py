@@ -104,3 +104,61 @@ def test_pallas_full_render_custom_vjp():
         scale = max(float(jnp.max(jnp.abs(a))), 1e-6)
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale, atol=1e-5)
+
+
+def test_aligned_slack_sufficient_matches_default():
+    """aligned_slack_tiles >= touched-tile count gives identical outputs to
+    the worst-case default layout."""
+    import dataclasses
+
+    _, settings, prep, pairs = _setup(seed=4)
+    c1, d1, t1, n1 = PR.composite_forward(prep, pairs, settings,
+                                          interpret=True)
+    tight = dataclasses.replace(settings,
+                                aligned_slack_tiles=settings.num_tiles)
+    # touched tiles <= num_tiles trivially; also try a genuinely small slack
+    nonzero = int(np.count_nonzero(np.asarray(pairs.tile_count)))
+    small = dataclasses.replace(settings, aligned_slack_tiles=nonzero + 4)
+    for s in (tight, small):
+        c2, d2, t2, n2 = PR.composite_forward(prep, pairs, s, interpret=True)
+        np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(n2), np.asarray(n1))
+
+
+def test_aligned_slack_overflow_drops_tiles_safely():
+    """Insufficient aligned slack drops whole tiles (degraded frame, no
+    crash, no garbage): kept tiles match, dropped tiles render empty."""
+    import dataclasses
+
+    _, settings, prep, pairs = _setup(seed=4)
+    # refit the pair capacity to the live count so the aligned padding has
+    # nowhere to go — forces genuine aligned-capacity overflow
+    live = int(np.asarray(pairs.num_pairs))
+    cap = -(-live // 128) * 128
+    settings = dataclasses.replace(settings, pair_capacity=cap)
+    pairs = build_pairs(prep.tiles_touched, prep.rect, prep.depth,
+                        settings.grid_x, settings.num_tiles, cap)
+    c1, _, t1, _ = PR.composite_forward(prep, pairs, settings,
+                                        interpret=True)
+    tiny = dataclasses.replace(settings, aligned_slack_tiles=1)
+    c2, _, t2, _ = PR.composite_forward(prep, pairs, tiny, interpret=True)
+    count = np.asarray(pairs.tile_count)
+    cum = np.cumsum(((count + 127) // 128) * 128)
+    usable = cap + 1 * 128
+    kept = cum <= usable
+    assert kept.any() and not kept.all()
+    np.testing.assert_array_equal(np.asarray(c2)[kept], np.asarray(c1)[kept])
+    # dropped tiles composite nothing: transmittance stays 1
+    np.testing.assert_array_equal(np.asarray(t2)[~kept],
+                                  np.ones_like(np.asarray(t2)[~kept]))
+
+    # backward with the same tiny slack stays finite and matches on kept
+    # tiles' gaussians implicitly via the masked segment sum
+    rng = np.random.default_rng(0)
+    bg = jnp.zeros(3, jnp.float32)
+    ct = jnp.asarray(rng.normal(0, 1, (settings.num_tiles, 256, 3))
+                     .astype(np.float32))
+    g2 = PR.composite_backward(prep, pairs, tiny, c2, t2, ct, bg,
+                               interpret=True)
+    for a in g2:
+        assert np.isfinite(np.asarray(a)).all()
