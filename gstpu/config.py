@@ -77,6 +77,15 @@ class RenderSettings:
     # on real scenes (the object concentrates in center rows: 0.41 mean/max
     # at 8 devices on trained Lego); round-robin rows measure 0.95+.
     row_stride: int = 1
+    # Mesh axis name for the sharded backward: when set (the multi-chip
+    # path), each device runs the per-Gaussian preprocess ADJOINT chain
+    # (cov2d/projection/SH/cov3d backward) only for its own 1/axis_size
+    # slice of Gaussians — the adjoints are LINEAR in the cotangents, and
+    # the all_gather VJP's reduce-scatter delivers each device exactly its
+    # slice's sum, so slicing before the chain is exact.  Without this the
+    # whole chain is replicated on every device (measured ~55% projected
+    # scaling efficiency at 8 devices; see SCALING.json).
+    shard_axis: str | None = None
 
     @property
     def grid_x(self) -> int:

@@ -408,27 +408,73 @@ def _render_bwd(settings, tan_fovx, tan_fovy, scale_modifier,
     focal_x = settings.width / (2.0 * tan_fovx)
     focal_y = settings.height / (2.0 * tan_fovy)
 
+    # Multi-chip: the adjoint chain below is per-Gaussian and LINEAR in the
+    # cotangents, so instead of every device running it over ALL Gaussians
+    # (band cotangents summed later by the all_gather VJP — measured ~55%
+    # projected scaling efficiency, SCALING.json), reduce-scatter the band
+    # cotangents FIRST and chain only device d's slice.  A Gaussian's pairs
+    # span multiple bands, so the pre-chain psum_scatter is what makes the
+    # slice's cotangents complete; the outer reduce-scatter then just picks
+    # device d's (already complete) slice.  Q15's translation bias is
+    # affine, not linear, so strict grad_bias_parity stays single-device.
+    n = means.shape[0]
+    sliced = False
+    if settings.shard_axis is not None and not settings.grad_bias_parity:
+        size = jax.lax.axis_size(settings.shard_axis)
+        if n % size == 0 and size > 1:
+            sliced = True
+            nl = n // size
+            i0 = jax.lax.axis_index(settings.shard_axis) * nl
+
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, i0, nl, axis=0)
+
+            def rs(x):
+                return jax.lax.psum_scatter(x, settings.shard_axis,
+                                            scatter_dimension=0, tiled=True)
+
+            (means_c, cov3d_c, radii_c, shs_c, clamped_c, scales_c,
+             rotations_c, depth_c) = map(
+                sl, (means, prep.cov3d, prep.radii, shs, prep.clamped,
+                     scales, rotations, prep.depth))
+            d_conic_c, d_mean2d_c, d_color_c, d_invd_c = map(
+                rs, (d_conic, d_mean2d, d_color, d_invd))
+    if not sliced:
+        (means_c, cov3d_c, radii_c, d_conic_c, d_mean2d_c, shs_c, clamped_c,
+         d_color_c, scales_c, rotations_c, depth_c, d_invd_c) = (
+            means, prep.cov3d, prep.radii, d_conic, d_mean2d, shs,
+            prep.clamped, d_color, scales, rotations, prep.depth, d_invd)
+
     # Preprocess adjoint chain: cov2d -> projection -> SH -> cov3d, with
     # dL_dmeans accumulated from three sources (backward.py:810-886).
     dmean_cov, dcov3d = preprocess_bwd.cov2d_backward(
-        means, prep.cov3d, prep.radii, focal_x, focal_y, tan_fovx, tan_fovy,
-        view, d_conic, parity=settings.parity,
+        means_c, cov3d_c, radii_c, focal_x, focal_y, tan_fovx, tan_fovy,
+        view, d_conic_c, parity=settings.parity,
         translation_bias=settings.grad_bias_parity)
     dmean_proj = preprocess_bwd.projection_backward(
-        means, prep.radii, proj, d_mean2d)
+        means_c, radii_c, proj, d_mean2d_c)
     dsh, dmean_sh = preprocess_bwd.sh_backward(
-        means, shs, prep.radii, campos, prep.clamped, d_color,
+        means_c, shs_c, radii_c, campos, clamped_c, d_color_c,
         settings.sh_degree)
     dscale, drot = preprocess_bwd.cov3d_backward(
-        scales, rotations, prep.radii, scale_modifier, dcov3d,
+        scales_c, rotations_c, radii_c, scale_modifier, dcov3d,
         parity=settings.parity)
     # depth chain: inv_depth = 1/t_z, t_z = [p,1] @ view (row-vector), so
     # dL/dp_j += -inv_depth^2 * dL/dinv_depth * view[j, 2]
-    inv_depth = 1.0 / jnp.where(prep.depth == 0.0, 1.0, prep.depth)
-    d_tz = -inv_depth * inv_depth * d_invd \
-        * (prep.radii > 0).astype(means.dtype)
+    inv_depth = 1.0 / jnp.where(depth_c == 0.0, 1.0, depth_c)
+    d_tz = -inv_depth * inv_depth * d_invd_c \
+        * (radii_c > 0).astype(means.dtype)
     dmean_depth = d_tz[:, None] * view[None, :3, 2]
     dmean = dmean_cov + dmean_proj + dmean_sh + dmean_depth
+
+    if sliced:
+        # re-embed the slice at full size; the outer reduce-scatter sums the
+        # per-device bands and hands device d exactly this slice
+        def em(x):
+            full = jnp.zeros((n,) + x.shape[1:], x.dtype)
+            return jax.lax.dynamic_update_slice_in_dim(full, x, i0, axis=0)
+
+        dmean, dscale, drot, dsh = map(em, (dmean, dscale, drot, dsh))
 
     zeros_like = jax.tree_util.tree_map(jnp.zeros_like,
                                         (view, proj, campos, bg))

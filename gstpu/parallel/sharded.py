@@ -45,7 +45,10 @@ def band_settings(settings: RenderSettings, n_model: int) -> RenderSettings:
     the callers."""
     import dataclasses
     rows = -(-settings.grid_y // n_model)
-    return dataclasses.replace(settings, tile_rows=rows, row_stride=n_model)
+    # shard_axis: each device runs the per-Gaussian adjoint chain only for
+    # its own slice (cotangents psum_scattered first; rasterize._render_bwd)
+    return dataclasses.replace(settings, tile_rows=rows, row_stride=n_model,
+                               shard_axis="model" if n_model > 1 else None)
 
 
 def _gather_params(p_shard):

@@ -70,7 +70,8 @@ def main():
 
     def timeit(fn, lo=5, hi=20):
         out = fn(*args)
-        _ = float(out[0])  # poison the stream (axon trap)
+        # poison the stream (axon trap)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
 
         def run(k):
             o = None
@@ -87,10 +88,49 @@ def main():
         return (((t2 - t1) - (t1 - t0)) / (hi - lo)) * 1e3
 
     base = RenderSettings(width=WIDTH, height=HEIGHT, pair_capacity=1 << 19,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, tight_radius=True)
     t_full = timeit(make_fwd_bwd(base, 0))
     result = {"t_full_ms": round(t_full, 3), "bands": {},
               "backend": jax.default_backend(), "pallas": use_pallas}
+
+    # The sharded step runs the per-Gaussian preprocess ADJOINT chain only
+    # on each device's 1/n Gaussian slice (RenderSettings.shard_axis; the
+    # band render here runs outside shard_map, so it pays the full-N chain).
+    # Measure the chain at N and N/n and adjust the projection.
+    from gstpu.ops import preprocess_bwd
+    from gstpu.ops.preprocess import preprocess as _pre
+
+    prep = jax.jit(lambda *a: _pre(
+        *a, WIDTH, HEIGHT, cam["tan_fovx"], cam["tan_fovy"], base.grid_x,
+        base.grid_y, 3, tight_radius=True))(*args, *cam_args[:3])
+
+    def chain_ms(nn):
+        sl = lambda x: x[:nn]
+        ct3 = j(rng.normal(size=(nn, 3)).astype(np.float32))
+        ct2 = j(rng.normal(size=(nn, 2)).astype(np.float32))
+        fx = WIDTH / (2.0 * cam["tan_fovx"])
+        fy = HEIGHT / (2.0 * cam["tan_fovy"])
+
+        @jax.jit
+        def chain(means, cov3d, radii, shs_, clamped, scales_, rots, dcn,
+                  dm2, dcl):
+            dmean_cov, dcov3d = preprocess_bwd.cov2d_backward(
+                means, cov3d, radii, fx, fy, cam["tan_fovx"],
+                cam["tan_fovy"], cam_args[0], dcn, parity=True)
+            dmean_proj = preprocess_bwd.projection_backward(
+                means, radii, cam_args[1], dm2)
+            dsh, dmean_sh = preprocess_bwd.sh_backward(
+                means, shs_, radii, cam_args[2], clamped, dcl, 3)
+            dscale, drot = preprocess_bwd.cov3d_backward(
+                scales_, rots, radii, 1.0, dcov3d, parity=True)
+            return dmean_cov + dmean_proj + dmean_sh, dsh, dscale, drot
+
+        # materialize the sliced inputs ONCE — eager slicing inside the
+        # timed call costs ~1.5 ms per op over the axon tunnel
+        ins = jax.block_until_ready((
+            sl(args[0]), sl(prep.cov3d), sl(prep.radii), sl(args[4]),
+            sl(prep.clamped), sl(args[1]), sl(args[2]), ct3, ct2, ct3))
+        return timeit(lambda *_: chain(*ins), lo=5, hi=20)
 
     grid_y = base.grid_y
     for n in (2, 4, 8):
@@ -100,13 +140,22 @@ def main():
                                 pair_capacity=cap)
         band_ms = [timeit(make_fwd_bwd(s, d), lo=3, hi=12) for d in range(n)]
         worst = max(band_ms)
+        chain_full = chain_ms(N_GAUSSIANS)
+        chain_slice = chain_ms(N_GAUSSIANS // n)
+        adj = worst - chain_full + chain_slice
         eff = t_full / (n * (worst + T_COLLECTIVE_MS))
+        eff_adj = t_full / (n * (adj + 2 * T_COLLECTIVE_MS))
         result["bands"][str(n)] = {
             "per_device_ms": [round(x, 3) for x in band_ms],
             "worst_ms": round(worst, 3),
-            "projected_efficiency": round(eff, 4),
+            "chain_full_ms": round(chain_full, 3),
+            "chain_slice_ms": round(chain_slice, 3),
+            "projected_efficiency_replicated_chain": round(eff, 4),
+            "projected_efficiency": round(eff_adj, 4),
         }
-        print(f"n={n}: worst band {worst:.2f} ms, projected eff {eff:.3f}")
+        print(f"n={n}: worst band {worst:.2f} ms, chain {chain_full:.2f}->"
+              f"{chain_slice:.2f} ms, projected eff {eff_adj:.3f} "
+              f"(replicated-chain {eff:.3f})")
 
     path = Path(__file__).resolve().parents[1] / "SCALING.json"
     path.write_text(json.dumps(result, indent=2) + "\n")
