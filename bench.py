@@ -72,6 +72,18 @@ def main():
         probe.grid_y, 3, tight_radius=True))(*args, *cam_args[:3])
     live = int(np.asarray(pr.tiles_touched).sum())
     pair_capacity = -(-int(live * 1.05) // 8192) * 8192
+    # two-tier: count post-cull pairs once (see RenderSettings.pair_cull) and
+    # size every downstream stage to them
+    import dataclasses
+
+    from gstpu.ops.rasterize import _render_fwd as _probe_fwd
+    probe_cull = dataclasses.replace(probe, pair_capacity=pair_capacity,
+                                     pair_cull=True)
+    (_, _, probe_aux), _ = jax.jit(
+        lambda *a: _probe_fwd(probe_cull, cam["tan_fovx"], cam["tan_fovy"],
+                              1.0, *a, *cam_args, None, jnp.int32(0)))(*args)
+    kept = int(probe_aux.num_kept)
+    kept_capacity = -(-int(kept * 1.05) // 8192) * 8192
     # aligned slack: every nonzero tile pads < 128 slots (one slack tile),
     # so slack = touched-tile count is exact.  Count the union of the tile
     # rects via 2D inclusion-exclusion + integral image.
@@ -86,6 +98,7 @@ def main():
     nonzero_tiles = int((coverage > 0).sum())
     settings = RenderSettings(width=WIDTH, height=HEIGHT,
                               pair_capacity=pair_capacity,
+                              kept_capacity=kept_capacity, pair_cull=True,
                               use_pallas=use_pallas, tight_radius=True,
                               aligned_slack_tiles=min(probe.num_tiles,
                                                       nonzero_tiles + 16))

@@ -86,6 +86,31 @@ class RenderSettings:
     # whole chain is replicated on every device (measured ~55% projected
     # scaling efficiency at 8 devices; see SCALING.json).
     shard_axis: str | None = None
+    # Exact per-tile pair culling: drop (tile, Gaussian) pairs whose maximum
+    # alpha over the tile's pixel rect is provably < 1/255 (bound
+    # alpha <= op * exp(-0.5 * lambda_min(conic) * d^2) at the rect's nearest
+    # point to the splat center) — such pairs fail the rasterizer's alpha
+    # test at every pixel (forward.py:481), so the image and all gradients
+    # are unchanged to f32 reassociation.  The tile rect is an axis-aligned
+    # BOX around the (elliptical) splat, so its corner tiles frequently
+    # cannot reach 1/255: measured 13.6% of pairs on the random bench scene
+    # and 44% on trained Lego.  Changes n_contrib/num_kept bookkeeping, so
+    # strict-parity tests keep it off.
+    pair_cull: bool = False
+    # Post-cull pair capacity (two-tier): expansion + sort run at
+    # ``pair_capacity`` (pre-cull pairs must fit), then the sorted list is
+    # SLICED to ``kept_capacity`` — every downstream stage (aligned layout,
+    # feature gathers, kernels, the grad scatter-add) runs at the smaller
+    # size.  None = pair_capacity (single-tier).  Kept pairs beyond it are
+    # dropped for the trace; callers watch RenderAux.num_kept and re-trace
+    # bigger (same contract as pair_capacity).
+    kept_capacity: int | None = None
+
+    @property
+    def live_capacity(self) -> int:
+        """Size of the post-binning pair list (= kept_capacity under cull)."""
+        return self.kept_capacity if self.kept_capacity is not None \
+            else self.pair_capacity
 
     @property
     def grid_x(self) -> int:
@@ -125,6 +150,14 @@ class GSConfig:
     lr_sh: float = 2e-3
     lr_opac: float = 5e-3
     final_lr_factor: float = 0.01
+    # Official 3DGS schedules ONLY the position LR; opacity stays constant
+    # (0.05).  The sigmoid parameterization needs that: after an opacity
+    # reset to 0.01 the logit sits at -4.6 and must travel ~4.6 / lr_opac
+    # Adam-normalized steps to recover — at the reference's decayed 5e-3
+    # that is thousands of steps (measured collapse: alphas pinned at ~0.01,
+    # PSNR ~12).  The --activated recipe sets lr_opac=0.05 and turns the
+    # opacity decay off.
+    schedule_opac: bool = True
 
     # === Adam (config.py:46-48) ===
     adam_beta1: float = 0.9

@@ -181,7 +181,14 @@ def reset_opacities(model: GaussianModel, value: float,
 
 
 def should_reset_opacity(config: GSConfig, iteration: int) -> bool:
-    """Opacity-reset trigger (train.py:696-701)."""
+    """Opacity-reset trigger (train.py:696-701).
+
+    The reference's ``0 % 3000 == 0`` also fires at iteration 0 (a quirk we
+    replicate for the raw scheme); official 3DGS never resets at 0, and in
+    the activated scheme an iteration-0 reset wipes the 0.1 init before any
+    learning happens — skip it there."""
     white = all(c == 1.0 for c in config.background_color)
+    if iteration == 0 and config.parameterization == "activated":
+        return False
     return (iteration % config.opacity_reset_interval == 0
             or (white and iteration == config.densify_from_iter))

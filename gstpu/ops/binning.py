@@ -34,11 +34,12 @@ import jax.numpy as jnp
 
 
 class Pairs(NamedTuple):
-    gauss_id: jnp.ndarray    # (K,) int32 Gaussian index per sorted pair
-    tile_id: jnp.ndarray     # (K,) int32 tile per sorted pair (num_tiles = pad)
+    gauss_id: jnp.ndarray    # (K2,) int32 Gaussian index per sorted pair
+    tile_id: jnp.ndarray     # (K2,) int32 tile per sorted pair (num_tiles = pad)
     tile_start: jnp.ndarray  # (T,) int32 first pair index of each tile
     tile_count: jnp.ndarray  # (T,) int32 pairs in each tile
-    num_pairs: jnp.ndarray   # () int32 total real pairs (may exceed K: overflow!)
+    num_pairs: jnp.ndarray   # () int32 total pre-cull pairs (vs pair_capacity)
+    num_kept: jnp.ndarray    # () int32 post-cull pairs (vs kept_capacity)
 
 
 def segment_ids_from_offsets(offsets: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -80,16 +81,32 @@ def fill_by_offsets(offsets: jnp.ndarray, values: jnp.ndarray,
 
 def build_pairs(tiles_touched: jnp.ndarray, rect: jnp.ndarray,
                 depth: jnp.ndarray, grid_x: int, num_tiles: int,
-                pair_capacity: int) -> Pairs:
+                pair_capacity: int, cull_xy: jnp.ndarray | None = None,
+                cull_tcut: jnp.ndarray | None = None, row0=0,
+                row_stride: int = 1,
+                kept_capacity: int | None = None) -> Pairs:
     """Build the depth-sorted per-tile pair list.
 
     ``tiles_touched``: (N,) int32; ``rect``: (N,4) int32; ``depth``: (N,) f32.
     Pairs beyond ``pair_capacity`` are dropped (callers check ``num_pairs`` and
     re-trace with a larger capacity — the analog of the reference's 2^30 guard,
     forward.py:765-767).
+
+    Per-tile culling (``cull_xy`` (N,2) splat centers + ``cull_tcut`` (N,)
+    squared-distance thresholds, see RenderSettings.pair_cull): a pair is
+    dropped iff the squared distance from the tile's pixel rect to the splat
+    center exceeds ``t_cut = 2 ln(255 op) / lambda_min(conic)`` — then
+    alpha < 1/255 at every pixel of the tile and the rasterizer would skip
+    it anyway.  Culled pairs sort to the sentinel tail with the invalid
+    ones, and the sorted list is sliced to ``kept_capacity`` so downstream
+    stages run at the post-cull size (``num_kept`` reports the true
+    requirement).  ``rect``/``tiles_touched`` may be band-local
+    (clip_rect_to_band); ``row0``/``row_stride`` map band tile rows back to
+    global pixel rows for the distance test.
     """
     n = tiles_touched.shape[0]
     k = pair_capacity
+    k2 = kept_capacity if kept_capacity is not None else k
 
     cum = jnp.cumsum(tiles_touched)                    # inclusive prefix sum
     total = cum[-1]
@@ -100,24 +117,44 @@ def build_pairs(tiles_touched: jnp.ndarray, rect: jnp.ndarray,
     local = ks - run_starts(cum, k)                    # rect-local flat index
 
     # one row gather for all per-Gaussian attributes this stage needs
-    table = jnp.stack([rect[:, 0], rect[:, 1], rect[:, 2],
-                       jax.lax.bitcast_convert_type(depth, jnp.int32)],
-                      axis=-1)                         # (N, 4)
-    rows = table[g]                                    # (K, 4) row gather
+    cull = cull_xy is not None
+    cols = [rect[:, 0], rect[:, 1], rect[:, 2],
+            jax.lax.bitcast_convert_type(depth, jnp.int32)]
+    if cull:
+        bits = jax.lax.bitcast_convert_type
+        cols += [bits(cull_xy[:, 0], jnp.int32), bits(cull_xy[:, 1], jnp.int32),
+                 bits(cull_tcut, jnp.int32)]
+    table = jnp.stack(cols, axis=-1)                   # (N, 4|7)
+    rows = table[g]                                    # (K, 4|7) row gather
     rmin_x, rmin_y = rows[:, 0], rows[:, 1]
     rect_w = jnp.maximum(rows[:, 2] - rmin_x, 1)
-    tile = (rmin_y + local // rect_w) * grid_x + rmin_x + local % rect_w
+    tx = rmin_x + local % rect_w
+    ty = rmin_y + local // rect_w                      # band-local tile row
+    tile = ty * grid_x + tx
 
     valid = ks < total
+    if cull:
+        bits_f = lambda c: jax.lax.bitcast_convert_type(rows[:, c], jnp.float32)
+        cx, cy, tcut = bits_f(4), bits_f(5), bits_f(6)
+        # tile pixel-center rect (pixel coords are integers, _pix_coords)
+        x0 = (tx * 16).astype(jnp.float32)
+        y0 = ((ty * row_stride + row0) * 16).astype(jnp.float32)
+        dx = jnp.clip(cx, x0, x0 + 15.0) - cx
+        dy = jnp.clip(cy, y0, y0 + 15.0) - cy
+        valid = valid & (dx * dx + dy * dy <= tcut)
+    kept = jnp.sum(valid.astype(jnp.int32)) if cull else total
     tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
     depth_bits = jnp.where(valid, rows[:, 3], jnp.int32(2**31 - 1))
 
     tile_s, _, gauss_s = jax.lax.sort(
         (tile, depth_bits, g), num_keys=2, is_stable=True)
+    # two-tier slice: culled/invalid pairs sorted to the tail; everything
+    # after this line runs at the post-cull capacity
+    tile_s, gauss_s = tile_s[:k2], gauss_s[:k2]
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
     tile_end = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
     return Pairs(gauss_id=gauss_s, tile_id=tile_s,
                  tile_start=tile_start, tile_count=tile_end - tile_start,
-                 num_pairs=total)
+                 num_pairs=total, num_kept=kept)

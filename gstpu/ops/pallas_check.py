@@ -118,7 +118,9 @@ def compiled_parity_check(golden_path: Path = GOLDEN_PATH):
     j = jnp.asarray
     prep = PreprocessOut(**{k: j(g[f"prep_{k}"])
                             for k in PreprocessOut._fields})
-    pairs = Pairs(**{k: j(g[f"pairs_{k}"]) for k in Pairs._fields})
+    pairs = Pairs(**{k: j(g[f"pairs_{k}"]) if f"pairs_{k}" in g
+                     else j(g["pairs_num_pairs"])     # num_kept, older golden
+                     for k in Pairs._fields})
     dl_dpix, ct_d = j(g["dl_dpix"]), j(g["ct_d"])
     bg = jnp.zeros(3, jnp.float32)
     fwd, bwd = _run(settings, prep, pairs, dl_dpix, ct_d, bg,

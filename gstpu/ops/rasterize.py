@@ -45,6 +45,7 @@ class RenderAux(NamedTuple):
     final_t: jnp.ndarray     # (T, 256) f32 final transmittance per pixel
     n_contrib: jnp.ndarray   # (T, 256) int32
     xy: jnp.ndarray          # (N, 2) projected means (densify stats use these)
+    num_kept: jnp.ndarray    # () int32 — post-cull check vs kept_capacity
 
 
 def _tile_pixel_coords(settings: RenderSettings, row0=0):
@@ -349,17 +350,62 @@ def render(settings: RenderSettings, tan_fovx: float, tan_fovy: float,
 def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
                 means, scales, rotations, opacities, shs,
                 view, proj, campos, bg, alive, row0):
-    prep = preprocess(means, scales, rotations, opacities, shs,
-                      view, proj, campos, settings.width, settings.height,
-                      tan_fovx, tan_fovy, settings.grid_x, settings.grid_y,
-                      settings.sh_degree, scale_modifier=scale_modifier,
-                      alive=alive, tight_radius=settings.tight_radius)
+    n = means.shape[0]
+
+    def _preprocess(ms, sc, rt, op, sh, al):
+        return preprocess(ms, sc, rt, op, sh,
+                          view, proj, campos, settings.width, settings.height,
+                          tan_fovx, tan_fovy, settings.grid_x, settings.grid_y,
+                          settings.sh_degree, scale_modifier=scale_modifier,
+                          alive=al, tight_radius=settings.tight_radius)
+
+    # Multi-chip: preprocess is elementwise per Gaussian, so each device runs
+    # it only on its own 1/axis_size slice and all_gathers the outputs
+    # (~100 B/Gaussian over ICI) — otherwise the whole N-sized stage is
+    # replicated on every device (SCALING.json).  Gated on the same predicate
+    # as the sliced adjoint chain in _render_bwd so fwd/bwd stay consistent.
+    sharded_prep = False
+    if settings.shard_axis is not None and not settings.grad_bias_parity:
+        size = jax.lax.axis_size(settings.shard_axis)
+        if n % size == 0 and size > 1:
+            sharded_prep = True
+            nl = n // size
+            i0 = jax.lax.axis_index(settings.shard_axis) * nl
+
+            def sl(x):
+                return None if x is None else \
+                    jax.lax.dynamic_slice_in_dim(x, i0, nl, axis=0)
+
+            prep_local = _preprocess(sl(means), sl(scales), sl(rotations),
+                                     sl(opacities), sl(shs), sl(alive))
+            prep = PreprocessOut(*(
+                jax.lax.all_gather(x, settings.shard_axis, axis=0, tiled=True)
+                for x in prep_local))
+    if not sharded_prep:
+        prep = _preprocess(means, scales, rotations, opacities, shs, alive)
     rect_band, tiles_band = clip_rect_to_band(prep.rect, prep.tiles_touched,
                                               row0, settings.band_rows,
                                               settings.row_stride)
+    cull_xy = cull_tcut = None
+    if settings.pair_cull:
+        # exact per-tile cull threshold: alpha(d) <= op * exp(-0.5 *
+        # lambda_min(conic) * d^2) < 1/255  <=>  d^2 > 2 ln(255 op) /
+        # lambda_min  (see RenderSettings.pair_cull).  1.0001 margin keeps
+        # marginal pairs (the bound must err toward keeping).
+        ca, cb, cc = prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2]
+        mid = 0.5 * (ca + cc)
+        det_c = ca * cc - cb * cb
+        lam_min = mid - jnp.sqrt(jnp.maximum(mid * mid - det_c, 0.0))
+        log_term = 2.0 * jnp.log(jnp.maximum(255.0 * prep.opacity, 1e-12))
+        cull_tcut = jnp.where(lam_min > 0.0,
+                              1.0001 * log_term / lam_min, jnp.inf)
+        cull_xy = prep.xy
     pairs = build_pairs(tiles_band, rect_band, prep.depth,
                         settings.grid_x, settings.band_tiles,
-                        settings.pair_capacity)
+                        settings.pair_capacity, cull_xy=cull_xy,
+                        cull_tcut=cull_tcut, row0=row0,
+                        row_stride=settings.row_stride,
+                        kept_capacity=settings.kept_capacity)
     layout = None
     if settings.use_pallas:
         from gstpu.ops import pallas_rasterize
@@ -376,7 +422,8 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
     image = tiles_to_image(image_tiles, settings)
     depth = tiles_to_image(dacc, settings)
     aux = RenderAux(radii=prep.radii, num_pairs=pairs.num_pairs,
-                    final_t=final_t, n_contrib=n_contrib, xy=prep.xy)
+                    final_t=final_t, n_contrib=n_contrib, xy=prep.xy,
+                    num_kept=pairs.num_kept)
     residuals = (prep, pairs, layout, color, dacc, final_t, means, scales,
                  rotations, shs, view, proj, campos, bg, alive, row0)
     return (image, depth, aux), residuals

@@ -65,7 +65,8 @@ def schedule_lrs(config: GSConfig, iteration) -> LRs:
         positions=exp_lr(config.lr_pos, f, iteration, total),
         scales=exp_lr(config.lr_scale, f, iteration, total),
         rotations=exp_lr(config.lr_rot, f, iteration, total),
-        opacities=exp_lr(config.lr_opac, f, iteration, total),
+        opacities=(exp_lr(config.lr_opac, f, iteration, total)
+                   if config.schedule_opac else jnp.float32(config.lr_opac)),
         shs=exp_lr(config.lr_sh, f, iteration, total),
     )
 

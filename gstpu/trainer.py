@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -92,6 +93,11 @@ class Trainer:
         self.losses: list[float] = []
         self._pair_capacity = self._round_capacity(
             self.model.capacity * self.config.pair_capacity_per_gaussian)
+        # post-cull capacity (RenderSettings.kept_capacity): starts equal to
+        # the pre-cull one; the first flush shrinks it to the measured
+        # post-cull pair count (13.6-44% smaller — every downstream stage
+        # scales with it)
+        self._kept_capacity = self._pair_capacity
         self._metrics_file = open(self.output_path / "metrics.jsonl", "a")
         self._densify_jit = jax.jit(densify_mod.densify_and_prune,
                                     static_argnums=(2, 3))
@@ -172,7 +178,11 @@ class Trainer:
                               sh_degree=degree,
                               pair_capacity=self._pair_capacity,
                               use_pallas=self.use_pallas,
-                              tight_radius=True)
+                              tight_radius=True,
+                              pair_cull=os.environ.get(
+                                  "GSTPU_NO_CULL", "0") != "1",
+                              kept_capacity=min(self._kept_capacity,
+                                                self._pair_capacity))
 
     @functools.lru_cache(maxsize=8)
     def _sharded_step(self, settings: RenderSettings):
@@ -212,8 +222,8 @@ class Trainer:
         new_params, new_adam = adam_step(params, grads, adam, lrs, iteration,
                                          cfg, alive=model.alive)
         new_model = model.replace(**new_params)
-        return (new_model, new_adam, loss, grads["positions"], aux.num_pairs,
-                iteration + 1)
+        return (new_model, new_adam, loss, grads["positions"],
+                jnp.stack([aux.num_pairs, aux.num_kept]), iteration + 1)
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _render_eval(self, settings: RenderSettings, model: GaussianModel,
@@ -310,11 +320,16 @@ class Trainer:
                 return
             fetched = jax.device_get([(p[1], p[2]) for p in pending])
             max_pairs = 0
+            max_kept = 0
             overflow_steps = 0
-            for (it, _, _), (loss_f, num_pairs) in zip(pending, fetched):
+            for (it, _, _), (loss_f, counts) in zip(pending, fetched):
                 self.losses.append(float(loss_f))
-                max_pairs = max(max_pairs, int(num_pairs))
-                if int(num_pairs) > self._pair_capacity:
+                num_pairs, num_kept = (int(counts[0]), int(counts[1])) \
+                    if np.ndim(counts) else (int(counts), int(counts))
+                max_pairs = max(max_pairs, num_pairs)
+                max_kept = max(max_kept, num_kept)
+                if (num_pairs > self._pair_capacity
+                        or num_kept > self._kept_capacity):
                     overflow_steps += 1
             if overflow_steps:
                 # these steps rendered with dropped tail tiles before the
@@ -323,21 +338,30 @@ class Trainer:
                 self._log({"event": "pair_overflow",
                            "iteration": pending[-1][0],
                            "overflow_steps": overflow_steps,
-                           "max_pairs": max_pairs,
-                           "capacity": self._pair_capacity})
-            if max_pairs > self._pair_capacity:
-                self._pair_capacity = self._round_capacity(max_pairs * 1.5)
-                self._log({"event": "pair_capacity_grow",
+                           "max_pairs": max_pairs, "max_kept": max_kept,
+                           "capacity": self._pair_capacity,
+                           "kept_capacity": self._kept_capacity})
+
+            def refit(cap, need):
+                """Grow on overflow; shrink when over-provisioned 2.5x
+                (binning/feature/scatter costs scale with CAPACITY)."""
+                if need > cap or (need and need * 2.5 <= cap):
+                    return self._round_capacity(need * 1.5)
+                return cap
+
+            new_pair = refit(self._pair_capacity, max_pairs)
+            new_kept = refit(self._kept_capacity, max_kept)
+            if (new_pair, new_kept) != (self._pair_capacity,
+                                        self._kept_capacity):
+                grew = (new_pair > self._pair_capacity
+                        or new_kept > self._kept_capacity)
+                self._pair_capacity = new_pair
+                self._kept_capacity = new_kept
+                self._log({"event": "pair_capacity_grow" if grew
+                           else "pair_capacity_shrink",
                            "iteration": pending[-1][0],
-                           "capacity": self._pair_capacity})
-            elif max_pairs and max_pairs * 2.5 <= self._pair_capacity:
-                # binning/feature/scatter costs scale with CAPACITY, not the
-                # live pair count — shrink (recompile) when over-provisioned
-                # (e.g. after opacity resets collapse the splats)
-                self._pair_capacity = self._round_capacity(max_pairs * 1.5)
-                self._log({"event": "pair_capacity_shrink",
-                           "iteration": pending[-1][0],
-                           "capacity": self._pair_capacity})
+                           "capacity": self._pair_capacity,
+                           "kept_capacity": self._kept_capacity})
             pending = []
 
         it_dev = jnp.int32(self.iteration)

@@ -87,8 +87,57 @@ def main():
         t2 = time.perf_counter()
         return (((t2 - t1) - (t1 - t0)) / (hi - lo)) * 1e3
 
-    base = RenderSettings(width=WIDTH, height=HEIGHT, pair_capacity=1 << 19,
-                          use_pallas=use_pallas, tight_radius=True)
+    # Fit pair capacity + aligned slack to the scene exactly like bench.py
+    # (the trainer auto-sizes the same way) — comparing a fitted full frame
+    # against padded-capacity bands (or vice versa) would skew efficiency.
+    from gstpu.config import RenderSettings as _RS
+    from gstpu.ops.preprocess import preprocess as _pre0
+    from gstpu.ops.rasterize import clip_rect_to_band as _clip
+
+    probe = _RS(width=WIDTH, height=HEIGHT, tight_radius=True)
+    pr = jax.jit(lambda *a: _pre0(
+        *a, WIDTH, HEIGHT, cam["tan_fovx"], cam["tan_fovy"], probe.grid_x,
+        probe.grid_y, 3, tight_radius=True))(*args, *cam_args[:3])
+    tiles_np = np.asarray(pr.tiles_touched)
+    rect_np = np.asarray(pr.rect)
+
+    def fit_cap(live):
+        return -(-int(live * 1.05) // 8192) * 8192
+
+    def band_live(n, d):
+        """Live pairs for device d's round-robin rows d::n."""
+        band_rows = -(-probe.grid_y // n)
+        _, tiles_b = _clip(jnp.asarray(rect_np), jnp.asarray(tiles_np),
+                           jnp.int32(d), band_rows, n)
+        return int(np.asarray(tiles_b).sum())
+
+    # distinct touched tiles (aligned slack fitting, as in bench.py):
+    # rect-union coverage via 2D inclusion-exclusion + integral image
+    vis = tiles_np > 0
+    delta = np.zeros((probe.grid_y + 1, probe.grid_x + 1), np.int64)
+    np.add.at(delta, (rect_np[vis, 1], rect_np[vis, 0]), 1)
+    np.add.at(delta, (rect_np[vis, 1], rect_np[vis, 2]), -1)
+    np.add.at(delta, (rect_np[vis, 3], rect_np[vis, 0]), -1)
+    np.add.at(delta, (rect_np[vis, 3], rect_np[vis, 2]), 1)
+    coverage = delta.cumsum(0).cumsum(1)[: probe.grid_y, : probe.grid_x] > 0
+
+    # post-cull pair count (RenderSettings.pair_cull; same fitting as bench)
+    from gstpu.ops.rasterize import _render_fwd as _probe_fwd
+    cap0 = fit_cap(int(tiles_np.sum()))
+    probe_cull = dataclasses.replace(probe, pair_capacity=cap0,
+                                     pair_cull=True)
+    (_, _, probe_aux), _ = jax.jit(
+        lambda *a: _probe_fwd(probe_cull, cam["tan_fovx"], cam["tan_fovy"],
+                              1.0, *a, *cam_args, None, jnp.int32(0)))(*args)
+    kept_frac = int(probe_aux.num_kept) / max(int(probe_aux.num_pairs), 1)
+
+    base = RenderSettings(width=WIDTH, height=HEIGHT,
+                          pair_capacity=cap0,
+                          kept_capacity=fit_cap(int(probe_aux.num_kept)),
+                          pair_cull=True,
+                          use_pallas=use_pallas, tight_radius=True,
+                          aligned_slack_tiles=min(probe.num_tiles,
+                                                  int(coverage.sum()) + 16))
     t_full = timeit(make_fwd_bwd(base, 0))
     result = {"t_full_ms": round(t_full, 3), "bands": {},
               "backend": jax.default_backend(), "pallas": use_pallas}
@@ -132,30 +181,54 @@ def main():
             sl(prep.clamped), sl(args[1]), sl(args[2]), ct3, ct2, ct3))
         return timeit(lambda *_: chain(*ins), lo=5, hi=20)
 
+    # Preprocess fwd at N vs N/n: the sharded step preprocesses only each
+    # device's slice (rasterize._render_fwd sharded_prep), but the band
+    # renders below run outside shard_map and pay the full-N stage.
+    def pre_ms(nn):
+        ins = jax.block_until_ready(tuple(a[:nn] for a in args))
+
+        @jax.jit
+        def pre(*a):
+            return _pre0(*a, *cam_args[:3], WIDTH, HEIGHT, cam["tan_fovx"],
+                         cam["tan_fovy"], probe.grid_x, probe.grid_y, 3,
+                         tight_radius=True)
+        return timeit(lambda *_: pre(*ins), lo=5, hi=20)
+
     grid_y = base.grid_y
     for n in (2, 4, 8):
         rows = -(-grid_y // n)
-        cap = 1 << int(np.ceil(np.log2((1 << 19) / n * 1.3)))
+        # ONE compile per n: size every device's graph for the worst band
+        # (the critical path), fitted like the full frame
+        worst_live = max(band_live(n, d) for d in range(n))
+        cap = fit_cap(worst_live)
+        slack = max(int(coverage[d::n].sum()) for d in range(n)) + 16
         s = dataclasses.replace(base, tile_rows=rows, row_stride=n,
-                                pair_capacity=cap)
+                                pair_capacity=cap,
+                                kept_capacity=fit_cap(worst_live * kept_frac),
+                                aligned_slack_tiles=min(rows * base.grid_x,
+                                                        slack))
         band_ms = [timeit(make_fwd_bwd(s, d), lo=3, hi=12) for d in range(n)]
         worst = max(band_ms)
         chain_full = chain_ms(N_GAUSSIANS)
         chain_slice = chain_ms(N_GAUSSIANS // n)
-        adj = worst - chain_full + chain_slice
+        pre_full = pre_ms(N_GAUSSIANS)
+        pre_slice = pre_ms(N_GAUSSIANS // n)
+        adj = worst - chain_full + chain_slice - pre_full + pre_slice
         eff = t_full / (n * (worst + T_COLLECTIVE_MS))
-        eff_adj = t_full / (n * (adj + 2 * T_COLLECTIVE_MS))
+        eff_adj = t_full / (n * (adj + 3 * T_COLLECTIVE_MS))
         result["bands"][str(n)] = {
             "per_device_ms": [round(x, 3) for x in band_ms],
             "worst_ms": round(worst, 3),
             "chain_full_ms": round(chain_full, 3),
             "chain_slice_ms": round(chain_slice, 3),
-            "projected_efficiency_replicated_chain": round(eff, 4),
+            "pre_full_ms": round(pre_full, 3),
+            "pre_slice_ms": round(pre_slice, 3),
+            "projected_efficiency_replicated": round(eff, 4),
             "projected_efficiency": round(eff_adj, 4),
         }
         print(f"n={n}: worst band {worst:.2f} ms, chain {chain_full:.2f}->"
-              f"{chain_slice:.2f} ms, projected eff {eff_adj:.3f} "
-              f"(replicated-chain {eff:.3f})")
+              f"{chain_slice:.2f}, pre {pre_full:.2f}->{pre_slice:.2f}, "
+              f"projected eff {eff_adj:.3f} (replicated {eff:.3f})")
 
     path = Path(__file__).resolve().parents[1] / "SCALING.json"
     path.write_text(json.dumps(result, indent=2) + "\n")

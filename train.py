@@ -55,7 +55,12 @@ def main():
     if args.lambda_depth is not None:
         config = config.replace(lambda_depth=args.lambda_depth)
     if args.activated:
-        config = config.replace(parameterization="activated")
+        # official-3DGS opacity recipe rides with the sigmoid scheme: LR 0.05
+        # (10x the reference's raw LR) and NO decay — Adam-normalized logit
+        # steps of ~lr are what lets opacities recover from the 0.01 resets
+        # (see GSConfig.schedule_opac)
+        config = config.replace(parameterization="activated",
+                                lr_opac=0.05, schedule_opac=False)
     if args.sh_warmup is not None:
         config = config.replace(sh_degree_interval=args.sh_warmup)
 
