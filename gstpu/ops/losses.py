@@ -58,13 +58,15 @@ def _filter2d_separable(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     kv = jnp.tile(window.reshape(k, 1, 1, 1), (1, 1, 1, c))
     y = jax.lax.conv_general_dilated(x, kv, (1, 1), "SAME",
                                      dimension_numbers=dn,
-                                     feature_group_count=c)
+                                     feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     kh = jnp.tile(window.reshape(1, k, 1, 1), (1, 1, 1, c))
     dn2 = jax.lax.conv_dimension_numbers(y.shape, (1, k, 1, c),
                                          ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(y, kh, (1, 1), "SAME",
                                      dimension_numbers=dn2,
-                                     feature_group_count=c)
+                                     feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     return y[0]
 
 

@@ -7,6 +7,7 @@ the VPU).  Formula provenance is cited per-function against the reference.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gstpu.config import TILE_X, TILE_Y
@@ -92,7 +93,8 @@ def compute_cov2d(means: jnp.ndarray, cov3d: jnp.ndarray, view: jnp.ndarray,
     Returns (σxx, σxy, σyy) per Gaussian, *without* the +0.3 blur.
     """
     p = jnp.concatenate([means, jnp.ones_like(means[..., :1])], axis=-1)
-    t = p @ view                                        # (N,4) row-vector
+    t = jnp.matmul(p, view,                             # (N,4) row-vector
+                   precision=jax.lax.Precision.HIGHEST)  # no bf16 MXU pass
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
     tz = t[..., 2]

@@ -101,6 +101,37 @@ def generate_golden(path: Path = GOLDEN_PATH) -> None:
     print(f"wrote {path} (num_pairs={int(pairs.num_pairs)})")
 
 
+def preprocess_backend_parity(golden_path: Path = GOLDEN_PATH):
+    """Re-run ``preprocess`` on the CURRENT backend (the scene is
+    deterministic from seeds) and compare against the stored CPU prep.
+
+    This is the check that catches MXU-precision regressions: the round-2
+    training stall traced to TPU's default-bf16 matmul passes in the
+    projection (``ops/preprocess.py``), which the kernel gate could never
+    see because it feeds the kernels STORED prep.  With explicit
+    ``Precision.HIGHEST`` the backends agree to fp32 rounding; bf16 shows
+    up as ~0.5 px of ``xy`` jitter at this scene scale."""
+    g = np.load(golden_path)
+    _, prep, _, _, _, _ = _scene()
+    pix = np.abs(np.asarray(prep.xy) - g["prep_xy"]).max()
+    depth = np.abs(np.asarray(prep.depth) - g["prep_depth"]).max()
+    rgb = np.abs(np.asarray(prep.rgb) - g["prep_rgb"]).max()
+    conic_scale = float(np.abs(g["prep_conic"]).max()) or 1.0
+    conic = np.abs(np.asarray(prep.conic) - g["prep_conic"]).max() \
+        / conic_scale
+    # radii/tiles may flip on exact ties under fp32 reassociation
+    tile_flips = float((np.asarray(prep.tiles_touched)
+                        != g["prep_tiles_touched"]).mean())
+    res = {"prep_xy_maxdiff_px": float(pix),
+           "prep_depth_maxdiff": float(depth),
+           "prep_rgb_maxdiff": float(rgb),
+           "prep_conic_relmax": float(conic),
+           "prep_tile_flip_frac": tile_flips}
+    res["ok"] = bool(pix < 0.05 and depth < 1e-4 and rgb < 1e-4
+                     and conic < 1e-3 and tile_flips < 0.01)
+    return res
+
+
 def compiled_parity_check(golden_path: Path = GOLDEN_PATH):
     """Run the compiled Pallas path on the current backend with the STORED
     inputs and compare to the stored XLA outputs.  Returns a dict with
@@ -149,8 +180,12 @@ def compiled_parity_check(golden_path: Path = GOLDEN_PATH):
         # the max-gradient scale bounds that while still catching real
         # Mosaic regressions (which show as O(1) garbage)
         grad_ok &= rel < 1e-3
+    prep_res = preprocess_backend_parity(golden_path)
+    prep_ok = prep_res.pop("ok")
+    result.update(prep_res)
+    result["prep_ok"] = prep_ok
     result["ok"] = bool(grad_ok and color_diff < 1e-5 and depth_diff < 1e-4
-                        and flips.mean() < 0.05)
+                        and flips.mean() < 0.05 and prep_ok)
     return result
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from gstpu.ops import math3d
@@ -66,14 +67,17 @@ def preprocess(means: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
     p_hom_in = jnp.concatenate([means, jnp.ones((n, 1), means.dtype)], axis=-1)
 
     # --- near cull (forward.py:248-251) ---
-    p_view = p_hom_in @ view
+    # precision=HIGHEST: TPU matmuls default to bf16 MXU passes; that is
+    # ~1px of projection jitter at 800x800, enough to stall SSIM training
+    # (measured round 2: loss plateaus at 0.46 vs 0.13 with f32 matmuls).
+    p_view = jnp.matmul(p_hom_in, view, precision=jax.lax.Precision.HIGHEST)
     depth = p_view[:, 2]
     near_ok = depth >= 0.2
     if alive is not None:
         near_ok = near_ok & alive
 
     # --- projection to NDC then pixels (forward.py:253-256, 295) ---
-    p_hom = p_hom_in @ proj
+    p_hom = jnp.matmul(p_hom_in, proj, precision=jax.lax.Precision.HIGHEST)
     p_w = 1.0 / (p_hom[:, 3] + 1e-7)
     p_proj = p_hom[:, :3] * p_w[:, None]
     px = math3d.ndc2pix(p_proj[:, 0], float(width))

@@ -91,7 +91,7 @@ def cov2d_backward(means: jnp.ndarray, cov3d: jnp.ndarray, radii: jnp.ndarray,
 
     n = means.shape[0]
     p = jnp.concatenate([means, jnp.ones((n, 1), means.dtype)], axis=-1)
-    t = p @ view
+    t = jnp.matmul(p, view, precision=jax.lax.Precision.HIGHEST)
     tz = t[:, 2]
     inv_tz = 1.0 / tz
     txtz = t[:, 0] * inv_tz
@@ -184,7 +184,8 @@ def cov2d_backward(means: jnp.ndarray, cov3d: jnp.ndarray, radii: jnp.ndarray,
     # World-space gradient: vec4(dt, w) * view^T in warp row-vector convention
     # (backward.py:434) == dt @ view.T in jnp; w=1 replicates Q15, w=0 is the
     # correct direction transform.
-    dmean = (dt @ view.T)[:, :3]
+    dmean = jnp.matmul(dt, view.T,
+                       precision=jax.lax.Precision.HIGHEST)[:, :3]
 
     vis = (radii > 0)[:, None].astype(means.dtype)
     return dmean * vis, dcov3d * vis
@@ -199,7 +200,7 @@ def projection_backward(means: jnp.ndarray, radii: jnp.ndarray,
     """
     n = means.shape[0]
     p = jnp.concatenate([means, jnp.ones((n, 1), means.dtype)], axis=-1)
-    m_hom = p @ proj
+    m_hom = jnp.matmul(p, proj, precision=jax.lax.Precision.HIGHEST)
     m_w = 1.0 / (m_hom[:, 3] + 1e-7)
     mul1 = m_hom[:, 0] * m_w * m_w
     mul2 = m_hom[:, 1] * m_w * m_w

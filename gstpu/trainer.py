@@ -51,9 +51,11 @@ class Trainer:
 
     def __init__(self, dataset_path: str, output_path: str,
                  config: Optional[GSConfig] = None, use_pallas: bool = False,
-                 mesh=None):
+                 mesh=None, pair_cull: bool = True):
         self.config = config or GSConfig()
         self.mesh = mesh
+        self.pair_cull = pair_cull and os.environ.get(
+            "GSTPU_NO_CULL", "0") != "1"
         self.n_model = int(mesh.shape["model"]) if mesh else 1
         self.n_data = int(mesh.shape["data"]) if mesh else 1
         self.output_path = Path(output_path)
@@ -178,9 +180,7 @@ class Trainer:
                               sh_degree=degree,
                               pair_capacity=self._pair_capacity,
                               use_pallas=self.use_pallas,
-                              tight_radius=True,
-                              pair_cull=os.environ.get(
-                                  "GSTPU_NO_CULL", "0") != "1",
+                              tight_radius=True, pair_cull=self.pair_cull,
                               kept_capacity=min(self._kept_capacity,
                                                 self._pair_capacity))
 

@@ -33,6 +33,9 @@ def main():
                              "sigmoid opacities) instead of the reference's "
                              "raw-clamp scheme; required for --lambda-dssim "
                              "to train")
+    parser.add_argument("--no-cull", action="store_true",
+                        help="disable the exact per-tile pair cull "
+                             "(RenderSettings.pair_cull; on by default)")
     parser.add_argument("--pallas", action="store_true",
                         help="use the Pallas TPU rasterize kernels")
     parser.add_argument("--resume", type=int, default=None,
@@ -70,7 +73,8 @@ def main():
         mesh = make_mesh(n_data=args.n_data, n_model=args.n_model)
 
     trainer = Trainer(args.dataset, args.output, config,
-                      use_pallas=args.pallas, mesh=mesh)
+                      use_pallas=args.pallas, mesh=mesh,
+                      pair_cull=not args.no_cull)
     if args.resume is not None:
         trainer.restore(args.resume)
     trainer.train()
