@@ -303,9 +303,14 @@ class Trainer:
         stay on device and are fetched every ``flush_interval`` steps in one
         transfer — a per-step readback costs a full pipeline sync (tens of ms
         over a remote-device link).  Pair-list overflow is therefore detected
-        up to ``flush_interval`` steps late; capacity then grows with 2x
-        headroom and training continues (steps in between rendered with
-        dropped tail tiles — transient, logged).
+        up to ``flush_interval`` steps late; those steps rendered with
+        dropped tail tiles, so the window is ROLLED BACK to a device-side
+        snapshot of (params, Adam state) taken at its start, capacity grows,
+        and the window replays (same cameras/keys — the host RNG state is
+        part of the snapshot).  Flushes are forced before every densify
+        event, so a replay window never spans a topology change.  Snapshot
+        cost: one device-side copy of params+optimizer per window (~70 MB at
+        100k Gaussians), freed at the next boundary.
         """
         cfg = self.config
         total = num_iterations or cfg.num_iterations
@@ -313,17 +318,29 @@ class Trainer:
         t_last = time.perf_counter()
         it_last = self.iteration
         pending: list[tuple[int, Any, Any]] = []
+        snap = None
+        replays = 0  # consecutive rollbacks of the same window
 
-        def flush() -> None:
-            nonlocal pending
+        def take_snap():
+            nonlocal snap
+            # jnp.copy BEFORE the step call: the step donates model/adam, so
+            # a bare reference would be invalidated, not snapshotted
+            snap = (jax.tree_util.tree_map(jnp.copy, (self.model, self.adam)),
+                    self.iteration, self.key, rng.bit_generator.state)
+
+        def flush() -> bool:
+            """Fetch the window's deferred scalars; returns True if the
+            window overflowed and was rolled back (caller must ``continue``)."""
+            nonlocal pending, snap, replays
             if not pending:
-                return
+                return False
             fetched = jax.device_get([(p[1], p[2]) for p in pending])
             max_pairs = 0
             max_kept = 0
             overflow_steps = 0
+            losses = []
             for (it, _, _), (loss_f, counts) in zip(pending, fetched):
-                self.losses.append(float(loss_f))
+                losses.append(float(loss_f))
                 num_pairs, num_kept = (int(counts[0]), int(counts[1])) \
                     if np.ndim(counts) else (int(counts), int(counts))
                 max_pairs = max(max_pairs, num_pairs)
@@ -331,16 +348,8 @@ class Trainer:
                 if (num_pairs > self._pair_capacity
                         or num_kept > self._kept_capacity):
                     overflow_steps += 1
-            if overflow_steps:
-                # these steps rendered with dropped tail tiles before the
-                # deferred fetch detected the overflow (ADVICE r1) — make the
-                # degraded window visible at the moment it is known
-                self._log({"event": "pair_overflow",
-                           "iteration": pending[-1][0],
-                           "overflow_steps": overflow_steps,
-                           "max_pairs": max_pairs, "max_kept": max_kept,
-                           "capacity": self._pair_capacity,
-                           "kept_capacity": self._kept_capacity})
+            rollback = bool(overflow_steps) and snap is not None \
+                and replays < 3
 
             def refit(cap, need):
                 """Grow on overflow; shrink when over-provisioned 2.5x
@@ -350,7 +359,16 @@ class Trainer:
                 return cap
 
             new_pair = refit(self._pair_capacity, max_pairs)
-            new_kept = refit(self._kept_capacity, max_kept)
+            kept_need = max_kept
+            if max_pairs > self._pair_capacity:
+                # num_kept was computed from the TRUNCATED pair list — a
+                # censored measurement.  Extrapolate the cull rate to the
+                # true pair count so one rollback fixes both capacities
+                # (otherwise the replay overflows kept and rolls back again).
+                kept_need = min(max_pairs,
+                                -(-max_kept * max_pairs
+                                  // self._pair_capacity))
+            new_kept = refit(self._kept_capacity, kept_need)
             if (new_pair, new_kept) != (self._pair_capacity,
                                         self._kept_capacity):
                 grew = (new_pair > self._pair_capacity
@@ -362,11 +380,36 @@ class Trainer:
                            "iteration": pending[-1][0],
                            "capacity": self._pair_capacity,
                            "kept_capacity": self._kept_capacity})
+            if overflow_steps:
+                self._log({"event": "pair_overflow",
+                           "iteration": pending[-1][0],
+                           "overflow_steps": overflow_steps,
+                           "max_pairs": max_pairs, "max_kept": max_kept,
+                           "capacity": self._pair_capacity,
+                           "kept_capacity": self._kept_capacity,
+                           "rolled_back": rollback})
             pending = []
+            if rollback:
+                (self.model, self.adam), self.iteration, self.key, rng_state \
+                    = snap
+                rng.bit_generator.state = rng_state
+                replays += 1
+                return True
+            replays = 0
+            self.losses.extend(losses)
+            return False
 
         it_dev = jnp.int32(self.iteration)
-        while self.iteration < total:
+        while self.iteration < total or pending:
+            if self.iteration >= total:
+                # trailing partial window: if it rolled back, loop re-enters
+                if flush():
+                    it_dev = jnp.int32(self.iteration)
+                    it_last = min(it_last, self.iteration)
+                continue
             it = self.iteration
+            if not pending:
+                take_snap()  # window start: rollback point for overflow redo
             settings = self._settings(it)
             self.key, step_key = jax.random.split(self.key)
 
@@ -408,11 +451,14 @@ class Trainer:
                 cfg.densify_from_iter < it < cfg.densify_until_iter
                 and it % cfg.densification_interval == 0)
             if len(pending) >= flush_interval or densify_now:
-                flush()
+                if flush():          # overflow: window rolled back — replay
+                    it_dev = jnp.int32(self.iteration)
+                    it_last = min(it_last, self.iteration)
+                    continue
             self._maybe_densify(pos_grads, step_key)
             self.iteration += 1
 
-            if it and it % 50 == 0:
+            if it and it % 50 == 0 and it > it_last:
                 now = time.perf_counter()
                 self._log({"iteration": it,
                            "loss": self.losses[-1] if self.losses else None,
@@ -420,11 +466,13 @@ class Trainer:
                            "step_ms": (now - t_last) / (it - it_last) * 1e3})
                 t_last, it_last = now, it
             if it % cfg.save_interval == 0 or it == total - 1:
-                flush()
+                if flush():
+                    it_dev = jnp.int32(self.iteration)
+                    it_last = min(it_last, self.iteration)
+                    continue
                 self.save_checkpoint(it)
                 if self.val_data is not None and it > 0:
                     self.evaluate(it)
-        flush()
         # end-of-training: FULL-split eval (round-1 subsampled to 8/16 views,
         # which made README numbers unlabeled subsets — VERDICT r1 weak #5)
         if self.val_data is not None:

@@ -27,7 +27,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-N_GAUSSIANS = 100_000
+N_GAUSSIANS = 100_000   # override with --n <count>
 WIDTH = HEIGHT = 800
 T_COLLECTIVE_MS = 0.1  # measured upper bound for the ~6MB ICI collectives
 
@@ -35,6 +35,10 @@ T_COLLECTIVE_MS = 0.1  # measured upper bound for the ~6MB ICI collectives
 def main():
     import jax
     import jax.numpy as jnp
+
+    global N_GAUSSIANS
+    if "--n" in sys.argv:
+        N_GAUSSIANS = int(sys.argv[sys.argv.index("--n") + 1])
 
     from gstpu.config import RenderSettings
     from gstpu.ops.losses import l1_loss
@@ -140,6 +144,7 @@ def main():
                                                   int(coverage.sum()) + 16))
     t_full = timeit(make_fwd_bwd(base, 0))
     result = {"t_full_ms": round(t_full, 3), "bands": {},
+              "n_gaussians": N_GAUSSIANS, "live_pairs": int(tiles_np.sum()),
               "backend": jax.default_backend(), "pallas": use_pallas}
 
     # The sharded step runs the per-Gaussian preprocess ADJOINT chain only
@@ -230,7 +235,9 @@ def main():
               f"{chain_slice:.2f}, pre {pre_full:.2f}->{pre_slice:.2f}, "
               f"projected eff {eff_adj:.3f} (replicated {eff:.3f})")
 
-    path = Path(__file__).resolve().parents[1] / "SCALING.json"
+    name = "SCALING.json" if N_GAUSSIANS == 100_000 \
+        else f"SCALING_{N_GAUSSIANS // 1000}k.json"
+    path = Path(__file__).resolve().parents[1] / name
     path.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result))
 

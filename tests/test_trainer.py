@@ -221,3 +221,37 @@ def test_activated_parameterization_trains(tiny_dataset, tmp_path):
     # stored scales stay in log space (negative for sub-unit scales)
     alive = np.asarray(trainer.model.alive)
     assert np.asarray(trainer.model.scales)[alive].mean() < 0.0
+
+
+def test_overflow_rollback_replays_window(tiny_dataset, tmp_path):
+    """Pair-list overflow rolls the window back to its snapshot and replays
+    at grown capacity (round-2; replaces 'keep up to flush_interval
+    corrupted updates').  The replayed run's losses must match a run that
+    had ample capacity from the start (same seeds, same cameras)."""
+    from gstpu.trainer import Trainer
+
+    # many large splats at 32x32 (2x2 tile grid): 16k points x up to 4 tiles
+    # each -> pairs can exceed the 32k starting capacity
+    cfg = _config().replace(num_points=16384, initial_scale=1.0,
+                            pair_capacity_per_gaussian=1.0,
+                            densify_from_iter=10_000)
+
+    out = tmp_path / "small"
+    tr = Trainer(str(tiny_dataset), str(out), cfg)
+    assert tr._pair_capacity == 1 << 15
+    tr.train()
+    metrics = [json.loads(line) for line in open(out / "metrics.jsonl")]
+    overflows = [m for m in metrics if m.get("event") == "pair_overflow"]
+    assert overflows and all(m["rolled_back"] for m in overflows)
+    grows = [m for m in metrics if m.get("event") == "pair_capacity_grow"]
+    assert grows and grows[-1]["capacity"] > 1 << 15
+
+    out2 = tmp_path / "ample"
+    cfg2 = cfg.replace(pair_capacity_per_gaussian=8.0)
+    tr2 = Trainer(str(tiny_dataset), str(out2), cfg2)
+    tr2.train()
+
+    a = [float(x) for x in open(out / "loss.txt")]
+    b = [float(x) for x in open(out2 / "loss.txt")]
+    assert len(a) == len(b) == cfg.num_iterations
+    np.testing.assert_allclose(a, b, rtol=2e-4)
