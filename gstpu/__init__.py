@@ -17,7 +17,7 @@ Reference parity surface is documented per-function with ``file:line`` citations
 into the reference repo.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from gstpu.config import GSConfig, RenderSettings  # noqa: F401
 from gstpu.render import render_gaussians  # noqa: F401
