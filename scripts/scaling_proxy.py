@@ -235,6 +235,28 @@ def main():
               f"{chain_slice:.2f}, pre {pre_full:.2f}->{pre_slice:.2f}, "
               f"projected eff {eff_adj:.3f} (replicated {eff:.3f})")
 
+    # Data-parallel (camera-batch) scaling: each device runs the FULL
+    # fwd+bwd on its own camera (per-device work == t_full, measured) and
+    # all-reduces the parameter gradients over 'data'
+    # (gstpu/parallel/sharded.py psum).  The collective is modeled from the
+    # payload (59 floats/Gaussian: pos 3 + scale 3 + rot 4 + opac 1 + SH 48)
+    # at a conservative per-link ICI bandwidth — it cannot be measured on
+    # one chip, but at these sizes it is a <1% term, so the model risk is
+    # bounded.  Throughput (frames/s) scaling — the multi-camera regime the
+    # reference's one-camera-per-step loop cannot reach at all.
+    ICI_GBPS = 90.0  # conservative v5-class per-link all-reduce bandwidth
+    grad_mb = N_GAUSSIANS * 59 * 4 / 1e6
+    result["data_parallel"] = {}
+    for n in (2, 4, 8):
+        t_ar = 2 * (n - 1) / n * grad_mb / (ICI_GBPS * 1e3)  # ms
+        result["data_parallel"][str(n)] = {
+            "allreduce_ms_modeled": round(t_ar, 3),
+            "projected_efficiency": round(t_full / (t_full + t_ar), 4),
+        }
+    print("data-parallel eff (modeled collective):",
+          {k: v["projected_efficiency"]
+           for k, v in result["data_parallel"].items()})
+
     name = "SCALING.json" if N_GAUSSIANS == 100_000 \
         else f"SCALING_{N_GAUSSIANS // 1000}k.json"
     path = Path(__file__).resolve().parents[1] / name
