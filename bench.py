@@ -15,6 +15,7 @@ Prints one JSON line:
 """
 
 import json
+import subprocess
 import sys
 import time
 
@@ -27,8 +28,53 @@ WARMUP = 3
 ITERS_LO = 5
 ITERS_HI = 25
 
+# Backend-outage policy (round 2: BENCH_r02 was rc=1 because the remote-TPU
+# tunnel hung/errored at init — an environment outage, not a code failure).
+# Probe the backend in a SUBPROCESS (a hung init can't be cancelled in-process
+# and jax caches backend-init failures for the process lifetime), retry with
+# sleeps, and if it never comes up emit an explicit JSON error record with
+# rc=0 so the driver parses the outage instead of recording nothing.
+PROBE_TRIES = 6
+PROBE_TIMEOUT_S = 180
+PROBE_SLEEP_S = 30
+
+
+def _probe_backend() -> tuple[bool, str]:
+    """Wait for the device backend to come up; returns (ok, detail)."""
+    code = ("import jax; d = jax.devices(); "
+            "print('BACKEND_OK', jax.default_backend(), len(d))")
+    detail = ""
+    for attempt in range(PROBE_TRIES):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=PROBE_TIMEOUT_S)
+            if "BACKEND_OK" in r.stdout:
+                return True, r.stdout.strip().splitlines()[-1]
+            detail = (r.stderr or r.stdout).strip().splitlines()[-1:] or [""]
+            detail = detail[0][-300:]
+        except subprocess.TimeoutExpired:
+            detail = f"backend init hang (> {PROBE_TIMEOUT_S}s)"
+        if attempt < PROBE_TRIES - 1:
+            time.sleep(PROBE_SLEEP_S)
+    return False, detail
+
 
 def main():
+    if "--skip-probe" not in sys.argv:
+        ok, detail = _probe_backend()
+        if not ok:
+            print(json.dumps({
+                "metric": "rasterize_fwd_bwd_ms_per_frame",
+                "value": None, "unit": "ms", "vs_baseline": None,
+                "error": "backend_unavailable",
+                "detail": detail,
+                "note": ("device backend never initialized after "
+                         f"{PROBE_TRIES} probes x {PROBE_TIMEOUT_S}s — "
+                         "environment outage, not a code failure"),
+            }))
+            return
+
     import jax
     import jax.numpy as jnp
 

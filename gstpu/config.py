@@ -113,6 +113,18 @@ class RenderSettings:
             else self.pair_capacity
 
     @property
+    def aligned_usable(self) -> int:
+        """Usable slot count of the Pallas 128-aligned layout.
+
+        ``RenderAux.aligned_pairs > aligned_usable`` means tiles were dropped
+        this trace; callers must re-trace with more ``aligned_slack_tiles``
+        (the Trainer rolls the window back, like a pair-capacity overflow).
+        """
+        slack = self.aligned_slack_tiles if self.aligned_slack_tiles \
+            is not None else self.band_tiles
+        return self.live_capacity + slack * 128
+
+    @property
     def grid_x(self) -> int:
         return (self.width + TILE_X - 1) // TILE_X
 

@@ -46,6 +46,13 @@ class RenderAux(NamedTuple):
     n_contrib: jnp.ndarray   # (T, 256) int32
     xy: jnp.ndarray          # (N, 2) projected means (densify stats use these)
     num_kept: jnp.ndarray    # () int32 — post-cull check vs kept_capacity
+    # () int32 — the Pallas 128-aligned layout's true slot requirement
+    # (sum over tiles of ceil(count/128)*128).  Tiles beyond the static
+    # aligned capacity (live_capacity + aligned_slack_tiles*128) are DROPPED
+    # for the trace, so callers must check ``aligned_pairs`` against that
+    # capacity and re-trace with more slack — same contract as
+    # num_pairs/num_kept.  0 on the XLA (non-Pallas) path.
+    aligned_pairs: jnp.ndarray
 
 
 def _tile_pixel_coords(settings: RenderSettings, row0=0):
@@ -407,10 +414,12 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
                         row_stride=settings.row_stride,
                         kept_capacity=settings.kept_capacity)
     layout = None
+    aligned_pairs = jnp.int32(0)
     if settings.use_pallas:
         from gstpu.ops import pallas_rasterize
         layout = pallas_rasterize.prepare_layout(
             prep, pairs, settings.band_tiles, settings.aligned_slack_tiles)
+        aligned_pairs = layout[5]
         color, dacc, final_t, n_contrib = pallas_rasterize.composite_forward(
             prep, pairs, settings, row0=row0,
             interpret=settings.pallas_interpret, layout=layout)
@@ -423,7 +432,7 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
     depth = tiles_to_image(dacc, settings)
     aux = RenderAux(radii=prep.radii, num_pairs=pairs.num_pairs,
                     final_t=final_t, n_contrib=n_contrib, xy=prep.xy,
-                    num_kept=pairs.num_kept)
+                    num_kept=pairs.num_kept, aligned_pairs=aligned_pairs)
     residuals = (prep, pairs, layout, color, dacc, final_t, means, scales,
                  rotations, shs, view, proj, campos, bg, alive, row0)
     return (image, depth, aux), residuals

@@ -51,7 +51,8 @@ class Trainer:
 
     def __init__(self, dataset_path: str, output_path: str,
                  config: Optional[GSConfig] = None, use_pallas: bool = False,
-                 mesh=None, pair_cull: bool = True):
+                 mesh=None, pair_cull: bool = True,
+                 pallas_interpret: bool = False):
         self.config = config or GSConfig()
         self.mesh = mesh
         self.pair_cull = pair_cull and os.environ.get(
@@ -80,6 +81,7 @@ class Trainer:
         self.tan_fovx = cam0["tan_fovx"]
         self.tan_fovy = cam0["tan_fovy"]
         self.use_pallas = use_pallas
+        self.pallas_interpret = pallas_interpret  # CPU testing of kernel paths
 
         key = jax.random.PRNGKey(self.config.seed)
         self.key, init_key = jax.random.split(key)
@@ -100,6 +102,14 @@ class Trainer:
         # post-cull pair count (13.6-44% smaller — every downstream stage
         # scales with it)
         self._kept_capacity = self._pair_capacity
+        # Pallas aligned-layout slack (RenderSettings.aligned_slack_tiles):
+        # starts at the safe worst case (None = one pad block for ALL tiles
+        # — measured ~12.8 ms in the grad scatter-add alone at 100k
+        # Gaussians) and is FITTED at window flushes from the measured
+        # RenderAux.aligned_pairs, the same way the pair capacities are.
+        # Undersized slack = dropped tiles, detected via aligned_pairs and
+        # rolled back like a pair overflow (VERDICT r2 items 3/4).
+        self._aligned_slack: int | None = None
         self._metrics_file = open(self.output_path / "metrics.jsonl", "a")
         self._densify_jit = jax.jit(densify_mod.densify_and_prune,
                                     static_argnums=(2, 3))
@@ -182,7 +192,9 @@ class Trainer:
                               use_pallas=self.use_pallas,
                               tight_radius=True, pair_cull=self.pair_cull,
                               kept_capacity=min(self._kept_capacity,
-                                                self._pair_capacity))
+                                                self._pair_capacity),
+                              aligned_slack_tiles=self._aligned_slack,
+                              pallas_interpret=self.pallas_interpret)
 
     @functools.lru_cache(maxsize=8)
     def _sharded_step(self, settings: RenderSettings):
@@ -222,8 +234,9 @@ class Trainer:
         new_params, new_adam = adam_step(params, grads, adam, lrs, iteration,
                                          cfg, alive=model.alive)
         new_model = model.replace(**new_params)
-        return (new_model, new_adam, loss, grads["positions"],
-                jnp.stack([aux.num_pairs, aux.num_kept]), iteration + 1)
+        counts = jnp.stack([aux.num_pairs, aux.num_kept, aux.aligned_pairs])
+        return (new_model, new_adam, loss, grads["positions"], counts,
+                iteration + 1)
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _render_eval(self, settings: RenderSettings, model: GaussianModel,
@@ -337,16 +350,29 @@ class Trainer:
             fetched = jax.device_get([(p[1], p[2]) for p in pending])
             max_pairs = 0
             max_kept = 0
+            max_aligned = 0
+            # aligned capacity the window actually ran with (slack is only
+            # mutated here, so it is constant across the window)
+            live_cap = min(self._kept_capacity, self._pair_capacity)
+            s0 = self._settings()
+            # per-DEVICE band tiles (the sharded path rasterizes
+            # ceil(grid_y/n_model) tile rows per device)
+            band_tiles = s0.grid_x * -(-s0.grid_y // self.n_model)
+            slack = self._aligned_slack if self._aligned_slack is not None \
+                else band_tiles
+            aligned_usable = live_cap + slack * 128
             overflow_steps = 0
             losses = []
             for (it, _, _), (loss_f, counts) in zip(pending, fetched):
                 losses.append(float(loss_f))
-                num_pairs, num_kept = (int(counts[0]), int(counts[1])) \
-                    if np.ndim(counts) else (int(counts), int(counts))
+                num_pairs, num_kept = int(counts[0]), int(counts[1])
+                num_aligned = int(counts[2]) if np.shape(counts)[0] > 2 else 0
                 max_pairs = max(max_pairs, num_pairs)
                 max_kept = max(max_kept, num_kept)
+                max_aligned = max(max_aligned, num_aligned)
                 if (num_pairs > self._pair_capacity
-                        or num_kept > self._kept_capacity):
+                        or num_kept > self._kept_capacity
+                        or num_aligned > aligned_usable):
                     overflow_steps += 1
             rollback = bool(overflow_steps) and snap is not None \
                 and replays < 3
@@ -369,24 +395,49 @@ class Trainer:
                                 -(-max_kept * max_pairs
                                   // self._pair_capacity))
             new_kept = refit(self._kept_capacity, kept_need)
-            if (new_pair, new_kept) != (self._pair_capacity,
-                                        self._kept_capacity):
+            # Fit the Pallas aligned slack (measured aligned_pairs is the
+            # TRUE requirement even when tiles were dropped — _aligned_layout
+            # computes it pre-drop).  If the kept list itself overflowed the
+            # measurement is censored; fall back to worst case for the
+            # replay and re-tighten at the next clean flush.
+            new_slack = self._aligned_slack
+            if self.use_pallas:
+                if max_kept > self._kept_capacity \
+                        or max_pairs > self._pair_capacity:
+                    new_slack = None
+                elif max_aligned > 0:
+                    new_live = min(new_kept, new_pair)
+                    need = max(0, -(-(max_aligned - new_live) // 128)) + 64
+                    need = min(need, band_tiles)
+                    cur = slack
+                    if need > cur or need * 2 < cur:
+                        new_slack = need
+            if (new_pair, new_kept, new_slack) != (
+                    self._pair_capacity, self._kept_capacity,
+                    self._aligned_slack):
+                new_slack_eff = band_tiles if new_slack is None else new_slack
                 grew = (new_pair > self._pair_capacity
-                        or new_kept > self._kept_capacity)
+                        or new_kept > self._kept_capacity
+                        or new_slack_eff > slack)
                 self._pair_capacity = new_pair
                 self._kept_capacity = new_kept
+                self._aligned_slack = new_slack
                 self._log({"event": "pair_capacity_grow" if grew
                            else "pair_capacity_shrink",
                            "iteration": pending[-1][0],
                            "capacity": self._pair_capacity,
-                           "kept_capacity": self._kept_capacity})
+                           "kept_capacity": self._kept_capacity,
+                           "aligned_slack_tiles": self._aligned_slack})
             if overflow_steps:
                 self._log({"event": "pair_overflow",
                            "iteration": pending[-1][0],
                            "overflow_steps": overflow_steps,
                            "max_pairs": max_pairs, "max_kept": max_kept,
+                           "max_aligned": max_aligned,
+                           "aligned_usable": aligned_usable,
                            "capacity": self._pair_capacity,
                            "kept_capacity": self._kept_capacity,
+                           "aligned_slack_tiles": self._aligned_slack,
                            "rolled_back": rollback})
             pending = []
             if rollback:
