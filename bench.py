@@ -107,9 +107,9 @@ def main():
                 jnp.zeros(3, jnp.float32))
     target = j(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
 
-    # Fit the pair capacity and aligned slack to the scene (the trainer
-    # auto-sizes the same way): every capacity-sized stage — binning scans,
-    # feature gathers, the grad scatter-add (~15 ns/row) — scales with these.
+    # Fit the pair capacities to the scene (the trainer auto-sizes the same
+    # way): every capacity-sized stage — binning scans, feature gathers,
+    # the grad scatter-add (~15 ns/row) — scales with these.
     from gstpu.ops.preprocess import preprocess as _pre
 
     probe = RenderSettings(width=WIDTH, height=HEIGHT, tight_radius=True)
@@ -130,24 +130,10 @@ def main():
                               1.0, *a, *cam_args, None, jnp.int32(0)))(*args)
     kept = int(probe_aux.num_kept)
     kept_capacity = -(-int(kept * 1.05) // 8192) * 8192
-    # aligned slack: every nonzero tile pads < 128 slots (one slack tile),
-    # so slack = touched-tile count is exact.  Count the union of the tile
-    # rects via 2D inclusion-exclusion + integral image.
-    rect = np.asarray(pr.rect)
-    vis = np.asarray(pr.tiles_touched) > 0
-    delta = np.zeros((probe.grid_y + 1, probe.grid_x + 1), np.int64)
-    np.add.at(delta, (rect[vis, 1], rect[vis, 0]), 1)
-    np.add.at(delta, (rect[vis, 1], rect[vis, 2]), -1)
-    np.add.at(delta, (rect[vis, 3], rect[vis, 0]), -1)
-    np.add.at(delta, (rect[vis, 3], rect[vis, 2]), 1)
-    coverage = delta.cumsum(0).cumsum(1)[: probe.grid_y, : probe.grid_x]
-    nonzero_tiles = int((coverage > 0).sum())
     settings = RenderSettings(width=WIDTH, height=HEIGHT,
                               pair_capacity=pair_capacity,
                               kept_capacity=kept_capacity, pair_cull=True,
-                              use_pallas=use_pallas, tight_radius=True,
-                              aligned_slack_tiles=min(probe.num_tiles,
-                                                      nonzero_tiles + 16))
+                              use_pallas=use_pallas, tight_radius=True)
 
     @jax.jit
     def fwd_bwd(means, scales_, rots, opac, shs_):

@@ -56,16 +56,6 @@ class RenderSettings:
     # changes radii/n_contrib bookkeeping values — strict-parity tests keep
     # it off; the trainer and bench enable it.
     tight_radius: bool = False
-    # Static size of the Pallas kernels' 128-aligned pair layout, expressed
-    # as extra tiles of padding: aligned capacity = pair_capacity +
-    # aligned_slack_tiles*128.  None = one pad-slot block per tile (the safe
-    # worst case; costs scale with it — the epilogue scatter-add alone is
-    # ~15 ns/row).  Scenes whose pairs concentrate into few tiles (or whose
-    # per-tile counts are known) can run much tighter; tiles that would
-    # overflow the aligned capacity are dropped for that frame (callers
-    # monitor RenderAux.aligned_pairs and re-trace bigger, like the pair
-    # capacity itself).
-    aligned_slack_tiles: int | None = None
     # Run the Pallas kernels in interpreter mode (CPU testing only).
     pallas_interpret: bool = False
     # Rasterize only a band of `tile_rows` tile rows (None = the full grid).
@@ -111,18 +101,6 @@ class RenderSettings:
         """Size of the post-binning pair list (= kept_capacity under cull)."""
         return self.kept_capacity if self.kept_capacity is not None \
             else self.pair_capacity
-
-    @property
-    def aligned_usable(self) -> int:
-        """Usable slot count of the Pallas 128-aligned layout.
-
-        ``RenderAux.aligned_pairs > aligned_usable`` means tiles were dropped
-        this trace; callers must re-trace with more ``aligned_slack_tiles``
-        (the Trainer rolls the window back, like a pair-capacity overflow).
-        """
-        slack = self.aligned_slack_tiles if self.aligned_slack_tiles \
-            is not None else self.band_tiles
-        return self.live_capacity + slack * 128
 
     @property
     def grid_x(self) -> int:

@@ -6,16 +6,23 @@ Replaces the XLA compositing path (ops/rasterize.py) with per-tile kernels:
   forward.py:844-846);
 - per-pair data is pre-gathered once into a feature matrix in *sorted pair
   order* (struct-of-arrays, (16, K)), so each tile's Gaussians are a
-  contiguous HBM slice [start, start+count) — DMA'd in chunks of 128 into
-  VMEM;
+  contiguous HBM slice [start, start+count) — DMA'd into VMEM from the
+  floor-aligned chunk base ``start - start % 128`` (Mosaic needs lane-aligned
+  slices); the up-to-127 leading ``head`` lanes belong to the previous tile
+  and are masked in-kernel.  Rounds 1-2 instead re-laid the pair list out so
+  every tile started 128-aligned — that cost four K'-sized scans, a second
+  row gather, and grew every downstream stage to K' = K + slack; all of
+  that is gone;
 - the front-to-back transmittance chain is computed exactly per chunk by a
   Hillis-Steele doubling cumulative product on the VPU (7 shift-multiplies
   per 128-pair chunk), and a per-tile ``while_loop`` walks only that tile's
   actual pair count with early exit once every pixel is opaque — unlike the
   XLA path, no tile pays for the deepest tile's chunk count;
-- the backward kernel writes *per-pair* gradients to the tile's own slice of a
-  (16, K) output (disjoint writes — no atomics, cf. backward.py:672-706),
-  which are then segment-summed into per-Gaussian gradients outside.
+- the backward kernel writes *per-pair* gradients to the tile's own slice of
+  a (16, K) output in sorted order (no atomics, cf. backward.py:672-706;
+  boundary chunks shared with the previous tile are merged by a read-select
+  — race-free because grid steps run sequentially), then ONE masked row
+  scatter-add segment-sums them into per-Gaussian gradients outside.
 
 Layout: compute arrays are (256 pixels x 128 pairs) f32 — sublanes x lanes —
 so per-pair rows of the feature chunk broadcast along lanes naturally.
@@ -51,70 +58,19 @@ GRAD_ROWS = 16  # dmean2d_x, dmean2d_y, dconic_a, dconic_b, dconic_c, dopac,
 #                 dcolor_r, dcolor_g, dcolor_b
 
 
-def _aligned_layout(pairs: Pairs, num_tiles: int,
-                    slack_tiles: int | None = None):
-    """Re-layout the sorted pair list so every tile starts 128-aligned.
+def _build_feat(prep: PreprocessOut, pairs: Pairs) -> jnp.ndarray:
+    """Gather per-pair Gaussian features in SORTED pair order -> (16, K+BLOCK).
 
-    Mosaic requires provably lane-aligned dynamic slices; aligning each
-    tile's range to CHUNK also makes every DMA a full-tile transfer.  Returns
-    (aligned_start (T,), src (K',), valid (K',), count_eff (T,),
-    aligned_pairs ()) where K' = K + slack_tiles*CHUNK (static; slack_tiles
-    defaults to the worst case, one pad block per tile) and src indexes the
-    original sorted pair order.  Tiles whose aligned span would exceed K'
-    are DROPPED for this trace (count_eff = 0) and ``aligned_pairs`` reports
-    the true requirement so callers can re-trace bigger — the aligned analog
-    of the pair-capacity overflow contract.
-
-    Implemented scatter+scan style (binning.py module docstring): slot q's
-    tile-start and per-tile offsets are forward-filled down the K' axis by
-    ``cumsum``/``cummax`` from T-sized scatters — no searchsorted, no
-    per-slot gathers from the (T,) tables.
+    ONE row gather (scalar gathers are ~25x costlier per element on TPU):
+    gauss id -> packed (N, 16) table.  The kernels consume the sorted order
+    directly (no 128-aligned re-layout: DMAs read from the floor-aligned
+    chunk base of each tile's range and the head lanes are masked in-kernel),
+    so the round-2 aligned-layout machinery — four K'-sized scans, a second
+    K'-sized row gather, the aligned_slack_tiles capacity and its overflow
+    contract — is gone, and every downstream stage (the grad DMA, masking,
+    and the epilogue scatter-add) runs at the exact live-pair size K.
+    The BLOCK zero-pad keeps the last tile's final block DMA in bounds.
     """
-    from gstpu.ops.binning import fill_by_offsets, run_starts
-
-    count = pairs.tile_count
-    k = pairs.gauss_id.shape[0]
-    if slack_tiles is None:
-        slack_tiles = num_tiles
-    acount = ((count + CHUNK - 1) // CHUNK) * CHUNK
-    cum_incl = jnp.cumsum(acount)
-    astart = cum_incl - acount
-    # + (BLOCK - CHUNK): the kernels transfer BLOCK-wide slices, so the last
-    # tile's final block may read past its aligned span — keep it in bounds
-    k_aligned = k + slack_tiles * CHUNK + (BLOCK - CHUNK)
-    usable = k_aligned - (BLOCK - CHUNK)
-    aligned_pairs = cum_incl[num_tiles - 1]
-    fits = cum_incl <= usable
-    count_eff = jnp.where(fits, count, 0).astype(jnp.int32)
-    # dropped tiles park at ``usable`` (one past the last kept slot): their
-    # zero counts keep the kernels from ever issuing a DMA there, and the
-    # fill/run scans below must not see them inside a kept tile's span
-    astart = jnp.where(fits, astart, usable)
-    q = jnp.arange(k_aligned, dtype=jnp.int32)
-    within = q - run_starts(astart[1:], k_aligned)
-    # src = tile_start[tile] + within = q + (tile_start - astart)[tile]
-    src = q + fill_by_offsets(
-        jnp.concatenate([jnp.zeros(1, jnp.int32), astart[1:]]),
-        pairs.tile_start - astart, k_aligned)
-    count_q = fill_by_offsets(
-        jnp.concatenate([jnp.zeros(1, jnp.int32), astart[1:]]),
-        count_eff, k_aligned)
-    valid = (q < jnp.minimum(aligned_pairs, usable)) & (within < count_q)
-    src = jnp.clip(src, 0, k - 1)
-    return (astart.astype(jnp.int32), src, valid, count_eff,
-            aligned_pairs.astype(jnp.int32))
-
-
-def _build_feat(prep: PreprocessOut, pairs: Pairs, src, valid) -> jnp.ndarray:
-    """Gather per-pair Gaussian features in aligned pair order -> (16, K').
-
-    Two ROW gathers only (scalar gathers are ~25x costlier per element on
-    TPU): gauss id -> packed (N, 16) table in sorted pair order, then sorted
-    order -> aligned order.  Alignment-padding slots carry garbage features;
-    the kernels never read them (``lane_valid = pos < tile_count`` masks every
-    per-pair term), so no masking pass is needed here.
-    """
-    del valid
     inv_depth = 1.0 / jnp.where(prep.depth == 0.0, 1.0, prep.depth)
     n = prep.xy.shape[0]
     table = jnp.concatenate([
@@ -124,8 +80,8 @@ def _build_feat(prep: PreprocessOut, pairs: Pairs, src, valid) -> jnp.ndarray:
         prep.rgb,                                    # 6, 7, 8
         inv_depth[:, None],                          # 9
         jnp.zeros((n, FEAT_ROWS - 10), jnp.float32)], axis=-1)
-    feat_sorted = table[pairs.gauss_id]              # (K, 16) row gather
-    feat = feat_sorted[src]                          # (K', 16) row gather
+    feat = table[pairs.gauss_id]                     # (K, 16) row gather
+    feat = jnp.pad(feat, ((0, BLOCK), (0, 0)))
     return feat.T
 
 
@@ -188,9 +144,15 @@ def _prefix_products(trans, alpha_eff, lanes):
     return p_incl, t_ex
 
 
-def _feat_dma(feat_hbm, feat_vmem, sem, start, b, slot: int):
-    """Descriptor for the block-b feature DMA into static slot ``slot``."""
-    s = pl.multiple_of(start + b * BLOCK, CHUNK)
+def _feat_dma(feat_hbm, feat_vmem, sem, astart, b, slot: int):
+    """Descriptor for the block-b feature DMA into static slot ``slot``.
+
+    ``astart`` is the tile's floor-aligned chunk base
+    (tile_start - tile_start % CHUNK): the kernels read the SORTED pair list
+    in place, so the first up-to-127 lanes of block 0 (``head``) belong to
+    the previous tile and are masked off by ``lane_valid``.
+    """
+    s = pl.multiple_of(astart + b * BLOCK, CHUNK)
     return pltpu.make_async_copy(feat_hbm.at[:, pl.ds(s, BLOCK)],
                                  feat_vmem.at[slot], sem.at[slot])
 
@@ -212,27 +174,32 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
+    head = start % CHUNK
+    astart = start - head
+    # span of the tile's floor-aligned read window; 0 for empty tiles so the
+    # loop cond can never outrun the count>0-gated DMA starts
+    span = jnp.where(count > 0, head + count, 0)
     pixf_x, pixf_y = _pix_coords(t, row0_ref[0], grid_x, row_stride)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     @pl.when(count > 0)
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, start, 0, 0).start()
+        _feat_dma(feat_hbm, feat_vmem, sem, astart, 0, 0).start()
 
-    @pl.when(BLOCK < count)
+    @pl.when(BLOCK < span)
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, start, 1, 1).start()
+        _feat_dma(feat_hbm, feat_vmem, sem, astart, 1, 1).start()
 
-    def one_chunk(feat, c, trans, cacc, dacc, last):
+    def one_chunk(feat, c, trans, done, cacc, dacc, last):
         """Composite one chunk from a (FEAT_ROWS, CHUNK) slice; safe on
         never-DMA'd (stale) data: every per-pair term is masked by
-        ``lane_valid = pos < count``, which is all-False then."""
-        pos = c * CHUNK + lanes                           # (1, C)
-        lane_valid = pos < count
+        ``lane_valid``, which is all-False then."""
+        pos = c * CHUNK + lanes - head                    # (1, C) in-tile idx
+        lane_valid = (pos >= 0) & (pos < count)
         alpha_eff, indiv, _, _, _, _, _ = _chunk_alpha_vmem(
             feat, pixf_x, pixf_y, lane_valid)
         p_incl, t_ex = _prefix_products(trans, alpha_eff, lanes)
-        kept = indiv & (p_incl >= T_EPS)
+        kept = indiv & (p_incl >= T_EPS) & jnp.logical_not(done)
         w = jnp.where(kept, alpha_eff * t_ex, 0.0)        # (256, C)
 
         cacc = (cacc[0] + w * _feat_row(feat, 6, lane_valid),
@@ -244,10 +211,14 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         p_kept = jnp.where(kept, p_incl, jnp.inf)
         p_last = jnp.min(p_kept, axis=1, keepdims=True)
         trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
-        return trans, cacc, dacc, last
+        # the reference BREAKS the pixel at the first passing Gaussian whose
+        # would-be transmittance crosses below 1e-4 (forward.py:486-488);
+        # once every pixel is done the tile's while_loop exits early
+        done = done | jnp.any(indiv & (p_incl < T_EPS), axis=1, keepdims=True)
+        return trans, done, cacc, dacc, last
 
     def body(carry):
-        (b, trans, cacc, dacc, last) = carry
+        (b, trans, done, cacc, dacc, last) = carry
         even = b % 2 == 0
 
         @pl.when(even)
@@ -260,49 +231,50 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
 
         feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
         for u in range(BLOCK_CHUNKS):
-            trans, cacc, dacc, last = one_chunk(
+            trans, done, cacc, dacc, last = one_chunk(
                 feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
-                b * BLOCK_CHUNKS + u, trans, cacc, dacc, last)
+                b * BLOCK_CHUNKS + u, trans, done, cacc, dacc, last)
 
         # the consumed slot is free: prefetch block b+2 into it
-        @pl.when(even & ((b + 2) * BLOCK < count))
+        @pl.when(even & ((b + 2) * BLOCK < span))
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, start, b + 2, 0).start()
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, b + 2, 0).start()
 
-        @pl.when(jnp.logical_not(even) & ((b + 2) * BLOCK < count))
+        @pl.when(jnp.logical_not(even) & ((b + 2) * BLOCK < span))
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, start, b + 2, 1).start()
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, b + 2, 1).start()
 
-        return (b + 1, trans, cacc, dacc, last)
+        return (b + 1, trans, done, cacc, dacc, last)
 
     def cond(carry):
-        b, trans = carry[0], carry[1]
-        return (b * BLOCK < count) & (jnp.max(trans) >= T_EPS)
+        b, done = carry[0], carry[2]
+        return (b * BLOCK < span) & jnp.logical_not(jnp.all(done))
 
     zc = jnp.zeros((TILE_PIXELS, CHUNK), jnp.float32)
     init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
+            jnp.zeros((TILE_PIXELS, 1), jnp.bool_),
             (zc, zc, zc), zc, jnp.zeros((TILE_PIXELS, CHUNK), jnp.int32))
-    (b_end, trans, cacc, dacc, last) = jax.lax.while_loop(cond, body, init)
+    (b_end, trans, _, cacc, dacc, last) = jax.lax.while_loop(cond, body, init)
 
     # early exit (or count == 0 skip) can leave prefetched DMAs un-waited;
     # drain them (block x rides slot x % 2) so slot reuse stays safe.
     even_end = b_end % 2 == 0
 
-    @pl.when((b_end * BLOCK < count) & even_end)
+    @pl.when((b_end * BLOCK < span) & even_end)
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, start, b_end, 0).wait()
+        _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end, 0).wait()
 
-    @pl.when((b_end * BLOCK < count) & jnp.logical_not(even_end))
+    @pl.when((b_end * BLOCK < span) & jnp.logical_not(even_end))
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, start, b_end, 1).wait()
+        _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end, 1).wait()
 
-    @pl.when(((b_end + 1) * BLOCK < count) & even_end)
+    @pl.when(((b_end + 1) * BLOCK < span) & even_end)
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, start, b_end + 1, 1).wait()
+        _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end + 1, 1).wait()
 
-    @pl.when(((b_end + 1) * BLOCK < count) & jnp.logical_not(even_end))
+    @pl.when(((b_end + 1) * BLOCK < span) & jnp.logical_not(even_end))
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, start, b_end + 1, 0).wait()
+        _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end + 1, 0).wait()
 
     # pack results as rows of the (1, 8, 256) output block; n_contrib rides
     # as bitcast float bits (exact int32 round trip)
@@ -317,17 +289,17 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
     out_ref[0, 7, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
 
 
-def prepare_layout(prep: PreprocessOut, pairs: Pairs, num_tiles: int,
-                   slack_tiles: int | None = None):
-    """Aligned layout + feature matrix, shared between forward and backward.
+def prepare_layout(prep: PreprocessOut, pairs: Pairs, num_tiles: int = 0):
+    """Sorted-order feature matrix, shared between forward and backward.
 
     The render custom-VJP stashes this in its residuals so the backward pass
-    does not rebuild the (16, K') feature matrix.
+    does not rebuild the (16, K+BLOCK) feature matrix.  (Rounds 1-2 also
+    built a 128-aligned pair re-layout here; the kernels now read the sorted
+    list in place from floor-aligned DMA bases, so the feature matrix IS the
+    whole layout.)
     """
-    astart, src, valid, count_eff, aligned_pairs = _aligned_layout(
-        pairs, num_tiles, slack_tiles)
-    feat = _build_feat(prep, pairs, src, valid)
-    return astart, src, valid, feat, count_eff, aligned_pairs
+    del num_tiles
+    return _build_feat(prep, pairs)
 
 
 def composite_forward(prep: PreprocessOut, pairs: Pairs,
@@ -335,8 +307,7 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
                       layout=None):
     """Pallas forward compositing; same contract as rasterize.composite_forward."""
     t = settings.band_tiles
-    astart, src, valid, feat, count_eff, _ = layout or prepare_layout(
-        prep, pairs, t, settings.aligned_slack_tiles)
+    feat = layout if layout is not None else prepare_layout(prep, pairs)
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -353,7 +324,7 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, 8, TILE_PIXELS), jnp.float32),
         interpret=interpret,
-    )(astart, count_eff, row0_arr, feat)
+    )(pairs.tile_start, pairs.tile_count, row0_arr, feat)
     color = jnp.stack([packed[:, 0], packed[:, 1], packed[:, 2]], axis=-1)
     d = packed[:, 3]
     final_t = packed[:, 4]
@@ -367,18 +338,34 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
 
 def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
                 row0_ref, feat_hbm, pix_in, grads_hbm, processed_ref,
-                feat_vmem, grad_vmem, sem_in, sem_out):
+                feat_vmem, grad_vmem, merge_vmem, sem_in, sem_out, sem_mrg):
     """Backward compositing; same block-granular parity pipeline as the
     forward, with a second ping-pong DMA pipeline draining per-pair gradient
-    BLOCKs back to HBM (per-tile slices; a block may straddle into the next
-    tile's aligned span — safe because this tile's out-DMAs are drained
-    before the next grid step writes, and the next tile then overwrites the
-    straddled slots with its own values — no atomics anywhere)."""
+    BLOCKs back to HBM.  The output is in SORTED pair order, so this tile's
+    write window [astart, astart + blocks*BLOCK) overlaps neighbours at the
+    boundary chunks: the up-to-127 ``head`` lanes of chunk 0 hold the
+    PREVIOUS tile's already-written gradients and are merged back via a
+    read-select (race-free — grid steps run sequentially and the previous
+    step drained its out-DMAs); lanes past this tile's count get garbage
+    that the NEXT tile (or the epilogue's validity mask) overwrites.
+    No atomics anywhere."""
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
+    head = start % CHUNK
+    astart = start - head
+    span = jnp.where(count > 0, head + count, 0)
     pixf_x, pixf_y = _pix_coords(t, row0_ref[0], grid_x, row_stride)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def merge_dma():
+        s = pl.multiple_of(astart, CHUNK)
+        return pltpu.make_async_copy(grads_hbm.at[:, pl.ds(s, CHUNK)],
+                                     merge_vmem, sem_mrg)
+
+    @pl.when((count > 0) & (head > 0))
+    def _():
+        merge_dma().start()
 
     # per-pixel quantities of this tile, as (256, 1) columns
     ctot_dot = pix_in[0, 0, :].reshape(TILE_PIXELS, 1)
@@ -390,28 +377,28 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
     ct_d = pix_in[0, 6, :].reshape(TILE_PIXELS, 1)   # depth cotangent
 
     def out_dma(b, slot: int):
-        s = pl.multiple_of(start + b * BLOCK, CHUNK)
+        s = pl.multiple_of(astart + b * BLOCK, CHUNK)
         return pltpu.make_async_copy(grad_vmem.at[slot],
                                      grads_hbm.at[:, pl.ds(s, BLOCK)],
                                      sem_out.at[slot])
 
     @pl.when(count > 0)
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, start, 0, 0).start()
+        _feat_dma(feat_hbm, feat_vmem, sem_in, astart, 0, 0).start()
 
-    @pl.when(BLOCK < count)
+    @pl.when(BLOCK < span)
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, start, 1, 1).start()
+        _feat_dma(feat_hbm, feat_vmem, sem_in, astart, 1, 1).start()
 
-    def one_chunk(feat, c, trans, prefix_u):
+    def one_chunk(feat, c, trans, done, prefix_u):
         """Gradient rows for one chunk; stale-data safe (all terms masked by
         lane_valid).  Returns (rows tuple, new carries)."""
-        pos = c * CHUNK + lanes
-        lane_valid = pos < count
+        pos = c * CHUNK + lanes - head
+        lane_valid = (pos >= 0) & (pos < count)
         alpha_eff, indiv, g, dx, dy, (ca, cb, cc), op = _chunk_alpha_vmem(
             feat, pixf_x, pixf_y, lane_valid)
         p_incl, t_ex = _prefix_products(trans, alpha_eff, lanes)
-        kept = indiv & (p_incl >= T_EPS)
+        kept = indiv & (p_incl >= T_EPS) & jnp.logical_not(done)
         w = jnp.where(kept, alpha_eff * t_ex, 0.0)
 
         cdot = (_feat_row(feat, 6, lane_valid) * ct_r
@@ -462,11 +449,12 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         p_kept = jnp.where(kept, p_incl, jnp.inf)
         p_last = jnp.min(p_kept, axis=1, keepdims=True)
         trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
+        done = done | jnp.any(indiv & (p_incl < T_EPS), axis=1, keepdims=True)
         prefix_u = prefix_u + jnp.sum(u, axis=1, keepdims=True)
-        return rows, trans, prefix_u
+        return rows, trans, done, prefix_u
 
     def body(carry):
-        (b, trans, prefix_u) = carry
+        (b, trans, done, prefix_u) = carry
         even = b % 2 == 0
 
         @pl.when(even)
@@ -480,9 +468,9 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
         all_rows = []
         for u in range(BLOCK_CHUNKS):
-            rows, trans, prefix_u = one_chunk(
+            rows, trans, done, prefix_u = one_chunk(
                 feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
-                b * BLOCK_CHUNKS + u, trans, prefix_u)
+                b * BLOCK_CHUNKS + u, trans, done, prefix_u)
             all_rows.append(rows)
 
         def write_and_send(slot: int):
@@ -496,12 +484,24 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
                     grad_vmem[slot, i, u * CHUNK:(u + 1) * CHUNK] = r
                 grad_vmem[slot, 10:, u * CHUNK:(u + 1) * CHUNK] = \
                     jnp.zeros((GRAD_ROWS - 10, CHUNK), jnp.float32)
+
+            # block 0's head lanes belong to the PREVIOUS tile: restore its
+            # already-written gradients before sending the block out
+            @pl.when((b == 0) & (head > 0))
+            def _():
+                merge_dma().wait()
+                lane2d = jax.lax.broadcasted_iota(
+                    jnp.int32, (GRAD_ROWS, CHUNK), 1)
+                grad_vmem[slot, :, :CHUNK] = jnp.where(
+                    lane2d < head, merge_vmem[:, :],
+                    grad_vmem[slot, :, :CHUNK])
+
             out_dma(b, slot).start()
 
             # the freed in-slot prefetches block b+2
-            @pl.when((b + 2) * BLOCK < count)
+            @pl.when((b + 2) * BLOCK < span)
             def _():
-                _feat_dma(feat_hbm, feat_vmem, sem_in, start, b + 2,
+                _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b + 2,
                           slot).start()
 
         @pl.when(even)
@@ -512,34 +512,35 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         def _():
             write_and_send(1)
 
-        return (b + 1, trans, prefix_u)
+        return (b + 1, trans, done, prefix_u)
 
     def cond(carry):
-        b, trans = carry[0], carry[1]
-        return (b * BLOCK < count) & (jnp.max(trans) >= T_EPS)
+        b, done = carry[0], carry[2]
+        return (b * BLOCK < span) & jnp.logical_not(jnp.all(done))
 
     init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
+            jnp.zeros((TILE_PIXELS, 1), jnp.bool_),
             jnp.zeros((TILE_PIXELS, 1), jnp.float32))
-    (b_end, _, _) = jax.lax.while_loop(cond, body, init)
+    (b_end, _, _, _) = jax.lax.while_loop(cond, body, init)
 
     # drain un-waited prefetched input DMAs (block x rides slot x % 2) ...
     even_end = b_end % 2 == 0
 
-    @pl.when((b_end * BLOCK < count) & even_end)
+    @pl.when((b_end * BLOCK < span) & even_end)
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, start, b_end, 0).wait()
+        _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b_end, 0).wait()
 
-    @pl.when((b_end * BLOCK < count) & jnp.logical_not(even_end))
+    @pl.when((b_end * BLOCK < span) & jnp.logical_not(even_end))
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, start, b_end, 1).wait()
+        _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b_end, 1).wait()
 
-    @pl.when(((b_end + 1) * BLOCK < count) & even_end)
+    @pl.when(((b_end + 1) * BLOCK < span) & even_end)
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, start, b_end + 1, 1).wait()
+        _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b_end + 1, 1).wait()
 
-    @pl.when(((b_end + 1) * BLOCK < count) & jnp.logical_not(even_end))
+    @pl.when(((b_end + 1) * BLOCK < span) & jnp.logical_not(even_end))
     def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, start, b_end + 1, 0).wait()
+        _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b_end + 1, 0).wait()
 
     # ... and the last two blocks' output DMAs (every processed block
     # started one; block x rides slot x % 2, so b_end-2 shares b_end's
@@ -561,8 +562,9 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         out_dma(b_end - 1, 0).wait()
 
     # Early exit leaves this tile's remaining pair slots unwritten (garbage)
-    # in the ANY-space output; report the processed pair count so the caller
-    # masks them out of the segment sum (no serial zero-fill DMA tail).
+    # in the ANY-space output; report the processed slot count (relative to
+    # the tile's floor-aligned base ``astart``) so the caller masks them out
+    # of the segment sum (no serial zero-fill DMA tail).
     processed_ref[0, :, :] = jnp.full((8, 128), b_end * BLOCK, jnp.int32)
 
 
@@ -575,9 +577,9 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
     (inverse depth rides as a 4th composited channel; feature row 9)."""
     n = prep.xy.shape[0]
     t = settings.band_tiles
-    astart, src, valid, feat, count_eff, _ = layout or prepare_layout(
-        prep, pairs, t, settings.aligned_slack_tiles)
-    k_aligned = feat.shape[1]
+    feat = layout if layout is not None else prepare_layout(prep, pairs)
+    k_pad = feat.shape[1]                        # K + BLOCK
+    k = k_pad - BLOCK
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
 
     if dl_ddepth is None:
@@ -602,32 +604,36 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((2, FEAT_ROWS, BLOCK), jnp.float32),
                         pltpu.VMEM((2, GRAD_ROWS, BLOCK), jnp.float32),
+                        pltpu.VMEM((GRAD_ROWS, CHUNK), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA(())],
     )
     pair_grads, processed = pl.pallas_call(
         functools.partial(_bwd_kernel, settings.grid_x, settings.row_stride),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, k_aligned), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, k_pad), jnp.float32),
                    jax.ShapeDtypeStruct((t, 8, 128), jnp.int32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(astart, count_eff, row0_arr, feat, pix)
+    )(pairs.tile_start, pairs.tile_count, row0_arr, feat, pix)
 
     # Mask slots the kernel never wrote (garbage in the ANY-space output):
-    # alignment padding, beyond the last tile, and pairs past a tile's
-    # early-exit point.  Forward-fill each tile's processed count down the
-    # aligned axis (scatter + cumsum; binning.py docstring), then ONE row
-    # scatter-add (row scatters are far cheaper than per-row scalar scatters).
-    from gstpu.ops.binning import fill_by_offsets, run_starts
+    # the sentinel/culled tail beyond the last tile and pairs past a tile's
+    # early-exit point.  ``processed`` counts slots from each tile's
+    # floor-aligned base; forward-fill both down the pair axis (scatter +
+    # cumsum; binning.py docstring), then ONE row scatter-add (row scatters
+    # are far cheaper than per-row scalar scatters).
+    from gstpu.ops.binning import fill_by_offsets
 
-    k_aligned_i = pair_grads.shape[1]
-    q = jnp.arange(k_aligned_i, dtype=jnp.int32)
-    within = q - run_starts(astart, k_aligned_i)
-    processed_q = fill_by_offsets(astart, processed[:, 0, 0], k_aligned_i)
-    valid = valid & (within < processed_q)
-    pair_grads = jnp.where(valid[None, :], pair_grads, 0.0).T   # (K', 16)
-    gid = jnp.where(valid, pairs.gauss_id[src], n)
+    pair_grads = pair_grads[:, :k]
+    q = jnp.arange(k, dtype=jnp.int32)
+    astart_t = pairs.tile_start - pairs.tile_start % CHUNK
+    astart_q = fill_by_offsets(pairs.tile_start, astart_t, k)
+    processed_q = fill_by_offsets(pairs.tile_start, processed[:, 0, 0], k)
+    valid = (pairs.tile_id < t) & (q - astart_q < processed_q)
+    pair_grads = jnp.where(valid[None, :], pair_grads, 0.0).T   # (K, 16)
+    gid = jnp.where(valid, pairs.gauss_id, n)
     acc = jnp.zeros((n, GRAD_ROWS), jnp.float32).at[gid].add(
         pair_grads, mode="drop")
     ddelx_dx = 0.5 * settings.width

@@ -6,12 +6,16 @@ loop (forward.py:384-515) and its reverse-replay backward (backward.py:558-706).
 Key idea — exact parallelization of the sequential front-to-back walk:
 with per-pair effective alphas ``α_i`` (zero where the reference ``continue``s:
 ``power > 0`` or ``α < 1/255``), the running transmittance
-``P_i = Π_{j<=i} (1 - α_j)`` is monotone non-increasing, so the reference's
-early break at the first ``P_i < 1e-4`` (forward.py:486-488) is equivalent to
-the per-element mask ``P_i >= 1e-4``: a Gaussian contributes iff it passes its
-individual tests AND ``P_i >= 1e-4``.  Compositing then becomes
-cumprod + masked weighted sums — chunked ``lax.while_loop`` over the per-tile
-depth-sorted ranges, vectorized over all tiles and pixels at once.
+``P_i = Π_{j<=i} (1 - α_j)`` is monotone non-increasing within a chunk, so
+the reference's early break at the first ``P_i < 1e-4`` (forward.py:486-488)
+becomes the per-element mask ``P_i >= 1e-4`` plus a per-pixel ``done`` flag:
+once any individually-passing Gaussian's would-be transmittance crosses below
+1e-4, that pixel accepts nothing more — exactly the reference's ``break``
+(without the flag, the sub-threshold factor would be forgotten at the next
+chunk boundary and a later low-alpha Gaussian could spuriously contribute).
+Compositing then becomes cumprod + masked weighted sums — chunked
+``lax.while_loop`` over the per-tile depth-sorted ranges, vectorized over all
+tiles and pixels at once, exiting once every pixel is done.
 
 The backward avoids the reference's reverse walk + atomics
 (backward.py:633-706) entirely: the suffix color sums it reconstructs
@@ -46,13 +50,6 @@ class RenderAux(NamedTuple):
     n_contrib: jnp.ndarray   # (T, 256) int32
     xy: jnp.ndarray          # (N, 2) projected means (densify stats use these)
     num_kept: jnp.ndarray    # () int32 — post-cull check vs kept_capacity
-    # () int32 — the Pallas 128-aligned layout's true slot requirement
-    # (sum over tiles of ceil(count/128)*128).  Tiles beyond the static
-    # aligned capacity (live_capacity + aligned_slack_tiles*128) are DROPPED
-    # for the trace, so callers must check ``aligned_pairs`` against that
-    # capacity and re-trace with more slack — same contract as
-    # num_pairs/num_kept.  0 on the XLA (non-Pallas) path.
-    aligned_pairs: jnp.ndarray
 
 
 def _tile_pixel_coords(settings: RenderSettings, row0=0):
@@ -151,14 +148,14 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
     n_chunks = jnp.max((pairs.tile_count + chunk - 1) // chunk)
 
     def body(carry):
-        i, trans, color, dacc, last = carry
+        i, trans, done, color, dacc, last = carry
         gid, pvalid, pos_in_tile = _chunk_pair_data(pairs, i, chunk)
         alpha_eff, indiv, _, _, _, _, _ = _chunk_alpha(prep, gid, pvalid,
                                                        pixf_x, pixf_y)
         one_m = 1.0 - alpha_eff
         p_incl = trans[:, :, None] * jnp.cumprod(one_m, axis=-1)   # (T,P,C)
         t_ex = p_incl / one_m                                      # 1-α >= 0.01
-        kept = indiv & (p_incl >= T_EPS)
+        kept = indiv & (p_incl >= T_EPS) & ~done[:, :, None]
         w = jnp.where(kept, alpha_eff * t_ex, 0.0)
 
         col = prep.rgb[gid]                                        # (T,C,3)
@@ -169,27 +166,31 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
         p_kept = jnp.where(kept, p_incl, jnp.inf)
         p_last = jnp.min(p_kept, axis=-1)
         trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
+        # the reference BREAKS the pixel at the first passing Gaussian whose
+        # would-be transmittance crosses below 1e-4 (forward.py:486-488)
+        done = done | jnp.any(indiv & (p_incl < T_EPS), axis=-1)
 
         contrib_pos = jnp.where(kept, pos_in_tile[None, None, :] + 1, 0)
         last = jnp.maximum(last, jnp.max(contrib_pos, axis=-1))
-        return i + 1, trans, color, dacc, last
+        return i + 1, trans, done, color, dacc, last
 
     def cond(carry):
-        return carry[0] < n_chunks
+        return (carry[0] < n_chunks) & ~jnp.all(carry[2])
 
     t = num_tiles
     init = (jnp.int32(0),
             jnp.ones((t, TILE_PIXELS), jnp.float32),
+            jnp.zeros((t, TILE_PIXELS), jnp.bool_),
             jnp.zeros((t, TILE_PIXELS, 3), jnp.float32),
             jnp.zeros((t, TILE_PIXELS), jnp.float32),
             jnp.zeros((t, TILE_PIXELS), jnp.int32))
     if static_chunks is None:
-        _, trans, color, dacc, last = jax.lax.while_loop(cond, body, init)
+        _, trans, _, color, dacc, last = jax.lax.while_loop(cond, body, init)
     else:
         carry = init
         carry, _ = jax.lax.scan(lambda c, _: (body(c), None), carry,
                                 None, length=static_chunks)
-        _, trans, color, dacc, last = carry
+        _, trans, _, color, dacc, last = carry
     return color, dacc, trans, last
 
 
@@ -225,7 +226,7 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
     n_chunks = jnp.max((pairs.tile_count + chunk - 1) // chunk)
 
     def body(carry):
-        (i, trans, prefix_u, d_color, d_mean2d, d_conic, d_opac,
+        (i, trans, done, prefix_u, d_color, d_mean2d, d_conic, d_opac,
          d_invd) = carry
         gid, pvalid, _ = _chunk_pair_data(pairs, i, chunk)
         alpha_eff, indiv, g, dx, dy, (ca, cb, cc), op = _chunk_alpha(
@@ -233,7 +234,7 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
         one_m = 1.0 - alpha_eff
         p_incl = trans[:, :, None] * jnp.cumprod(one_m, axis=-1)
         t_ex = p_incl / one_m
-        kept = indiv & (p_incl >= T_EPS)
+        kept = indiv & (p_incl >= T_EPS) & ~done[:, :, None]
         w = jnp.where(kept, alpha_eff * t_ex, 0.0)
 
         col = prep.rgb[gid]                                      # (T,C,3)
@@ -281,16 +282,18 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
         p_kept = jnp.where(kept, p_incl, jnp.inf)
         p_last = jnp.min(p_kept, axis=-1)
         trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
+        done = done | jnp.any(indiv & (p_incl < T_EPS), axis=-1)
         prefix_u = prefix_u + jnp.sum(u, axis=-1)
-        return (i + 1, trans, prefix_u, d_color, d_mean2d, d_conic, d_opac,
-                d_invd)
+        return (i + 1, trans, done, prefix_u, d_color, d_mean2d, d_conic,
+                d_opac, d_invd)
 
     def cond(carry):
-        return carry[0] < n_chunks
+        return (carry[0] < n_chunks) & ~jnp.all(carry[2])
 
     t = settings.band_tiles
     init = (jnp.int32(0),
             jnp.ones((t, TILE_PIXELS), jnp.float32),
+            jnp.zeros((t, TILE_PIXELS), jnp.bool_),
             jnp.zeros((t, TILE_PIXELS), jnp.float32),
             jnp.zeros((n, 3), jnp.float32),
             jnp.zeros((n, 2), jnp.float32),
@@ -298,7 +301,7 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
             jnp.zeros((n,), jnp.float32),
             jnp.zeros((n,), jnp.float32))
     out = jax.lax.while_loop(cond, body, init)
-    return out[3], out[4], out[5], out[6], out[7]
+    return out[4], out[5], out[6], out[7], out[8]
 
 
 def tiles_to_image(tiled: jnp.ndarray, settings: RenderSettings) -> jnp.ndarray:
@@ -414,12 +417,9 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
                         row_stride=settings.row_stride,
                         kept_capacity=settings.kept_capacity)
     layout = None
-    aligned_pairs = jnp.int32(0)
     if settings.use_pallas:
         from gstpu.ops import pallas_rasterize
-        layout = pallas_rasterize.prepare_layout(
-            prep, pairs, settings.band_tiles, settings.aligned_slack_tiles)
-        aligned_pairs = layout[5]
+        layout = pallas_rasterize.prepare_layout(prep, pairs)
         color, dacc, final_t, n_contrib = pallas_rasterize.composite_forward(
             prep, pairs, settings, row0=row0,
             interpret=settings.pallas_interpret, layout=layout)
@@ -432,7 +432,7 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
     depth = tiles_to_image(dacc, settings)
     aux = RenderAux(radii=prep.radii, num_pairs=pairs.num_pairs,
                     final_t=final_t, n_contrib=n_contrib, xy=prep.xy,
-                    num_kept=pairs.num_kept, aligned_pairs=aligned_pairs)
+                    num_kept=pairs.num_kept)
     residuals = (prep, pairs, layout, color, dacc, final_t, means, scales,
                  rotations, shs, view, proj, campos, bg, alive, row0)
     return (image, depth, aux), residuals

@@ -178,7 +178,7 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
         lrs = schedule_lrs(config, iteration)
         new_p, new_adam = adam_step(p_shard, grads, adam_shard, lrs,
                                     iteration, config, alive=alive_shard)
-        counts = jnp.stack([aux.num_pairs, aux.num_kept, aux.aligned_pairs])
+        counts = jnp.stack([aux.num_pairs, aux.num_kept])
         counts = jax.lax.pmax(jax.lax.pmax(counts, "model"), "data")
         return new_p, new_adam, loss, grads["positions"], counts, \
             iteration + 1

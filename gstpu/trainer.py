@@ -102,14 +102,6 @@ class Trainer:
         # post-cull pair count (13.6-44% smaller — every downstream stage
         # scales with it)
         self._kept_capacity = self._pair_capacity
-        # Pallas aligned-layout slack (RenderSettings.aligned_slack_tiles):
-        # starts at the safe worst case (None = one pad block for ALL tiles
-        # — measured ~12.8 ms in the grad scatter-add alone at 100k
-        # Gaussians) and is FITTED at window flushes from the measured
-        # RenderAux.aligned_pairs, the same way the pair capacities are.
-        # Undersized slack = dropped tiles, detected via aligned_pairs and
-        # rolled back like a pair overflow (VERDICT r2 items 3/4).
-        self._aligned_slack: int | None = None
         self._metrics_file = open(self.output_path / "metrics.jsonl", "a")
         self._densify_jit = jax.jit(densify_mod.densify_and_prune,
                                     static_argnums=(2, 3))
@@ -193,7 +185,6 @@ class Trainer:
                               tight_radius=True, pair_cull=self.pair_cull,
                               kept_capacity=min(self._kept_capacity,
                                                 self._pair_capacity),
-                              aligned_slack_tiles=self._aligned_slack,
                               pallas_interpret=self.pallas_interpret)
 
     @functools.lru_cache(maxsize=8)
@@ -234,7 +225,7 @@ class Trainer:
         new_params, new_adam = adam_step(params, grads, adam, lrs, iteration,
                                          cfg, alive=model.alive)
         new_model = model.replace(**new_params)
-        counts = jnp.stack([aux.num_pairs, aux.num_kept, aux.aligned_pairs])
+        counts = jnp.stack([aux.num_pairs, aux.num_kept])
         return (new_model, new_adam, loss, grads["positions"], counts,
                 iteration + 1)
 
@@ -350,29 +341,15 @@ class Trainer:
             fetched = jax.device_get([(p[1], p[2]) for p in pending])
             max_pairs = 0
             max_kept = 0
-            max_aligned = 0
-            # aligned capacity the window actually ran with (slack is only
-            # mutated here, so it is constant across the window)
-            live_cap = min(self._kept_capacity, self._pair_capacity)
-            s0 = self._settings()
-            # per-DEVICE band tiles (the sharded path rasterizes
-            # ceil(grid_y/n_model) tile rows per device)
-            band_tiles = s0.grid_x * -(-s0.grid_y // self.n_model)
-            slack = self._aligned_slack if self._aligned_slack is not None \
-                else band_tiles
-            aligned_usable = live_cap + slack * 128
             overflow_steps = 0
             losses = []
             for (it, _, _), (loss_f, counts) in zip(pending, fetched):
                 losses.append(float(loss_f))
                 num_pairs, num_kept = int(counts[0]), int(counts[1])
-                num_aligned = int(counts[2]) if np.shape(counts)[0] > 2 else 0
                 max_pairs = max(max_pairs, num_pairs)
                 max_kept = max(max_kept, num_kept)
-                max_aligned = max(max_aligned, num_aligned)
                 if (num_pairs > self._pair_capacity
-                        or num_kept > self._kept_capacity
-                        or num_aligned > aligned_usable):
+                        or num_kept > self._kept_capacity):
                     overflow_steps += 1
             rollback = bool(overflow_steps) and snap is not None \
                 and replays < 3
@@ -395,49 +372,24 @@ class Trainer:
                                 -(-max_kept * max_pairs
                                   // self._pair_capacity))
             new_kept = refit(self._kept_capacity, kept_need)
-            # Fit the Pallas aligned slack (measured aligned_pairs is the
-            # TRUE requirement even when tiles were dropped — _aligned_layout
-            # computes it pre-drop).  If the kept list itself overflowed the
-            # measurement is censored; fall back to worst case for the
-            # replay and re-tighten at the next clean flush.
-            new_slack = self._aligned_slack
-            if self.use_pallas:
-                if max_kept > self._kept_capacity \
-                        or max_pairs > self._pair_capacity:
-                    new_slack = None
-                elif max_aligned > 0:
-                    new_live = min(new_kept, new_pair)
-                    need = max(0, -(-(max_aligned - new_live) // 128)) + 64
-                    need = min(need, band_tiles)
-                    cur = slack
-                    if need > cur or need * 2 < cur:
-                        new_slack = need
-            if (new_pair, new_kept, new_slack) != (
-                    self._pair_capacity, self._kept_capacity,
-                    self._aligned_slack):
-                new_slack_eff = band_tiles if new_slack is None else new_slack
+            if (new_pair, new_kept) != (self._pair_capacity,
+                                        self._kept_capacity):
                 grew = (new_pair > self._pair_capacity
-                        or new_kept > self._kept_capacity
-                        or new_slack_eff > slack)
+                        or new_kept > self._kept_capacity)
                 self._pair_capacity = new_pair
                 self._kept_capacity = new_kept
-                self._aligned_slack = new_slack
                 self._log({"event": "pair_capacity_grow" if grew
                            else "pair_capacity_shrink",
                            "iteration": pending[-1][0],
                            "capacity": self._pair_capacity,
-                           "kept_capacity": self._kept_capacity,
-                           "aligned_slack_tiles": self._aligned_slack})
+                           "kept_capacity": self._kept_capacity})
             if overflow_steps:
                 self._log({"event": "pair_overflow",
                            "iteration": pending[-1][0],
                            "overflow_steps": overflow_steps,
                            "max_pairs": max_pairs, "max_kept": max_kept,
-                           "max_aligned": max_aligned,
-                           "aligned_usable": aligned_usable,
                            "capacity": self._pair_capacity,
                            "kept_capacity": self._kept_capacity,
-                           "aligned_slack_tiles": self._aligned_slack,
                            "rolled_back": rollback})
             pending = []
             if rollback:

@@ -101,23 +101,13 @@ def main():
     rect_b, tiles_b = clip_rect_to_band(prep.rect, prep.tiles_touched, row0,
                                         band_rows, band_n)
     live = int(np.asarray(tiles_b).sum())
+    del rect_np, tiles_np
     if fitted:
         cap = -(-int(live * 1.05) // 8192) * 8192
-        vis = tiles_np > 0
-        delta = np.zeros((settings.grid_y + 1, settings.grid_x + 1), np.int64)
-        np.add.at(delta, (rect_np[vis, 1], rect_np[vis, 0]), 1)
-        np.add.at(delta, (rect_np[vis, 1], rect_np[vis, 2]), -1)
-        np.add.at(delta, (rect_np[vis, 3], rect_np[vis, 0]), -1)
-        np.add.at(delta, (rect_np[vis, 3], rect_np[vis, 2]), 1)
-        cov = delta.cumsum(0).cumsum(1)[: settings.grid_y,
-                                        : settings.grid_x] > 0
-        slack = int(cov[band_d::band_n].sum()) + 16
-        settings = dataclasses.replace(
-            settings, pair_capacity=cap,
-            aligned_slack_tiles=min(settings.band_tiles, slack))
+        settings = dataclasses.replace(settings, pair_capacity=cap)
     num_tiles = settings.band_tiles
     print(f"band n={band_n} d={band_d}: live={live} cap={settings.pair_capacity} "
-          f"tiles={num_tiles} slack={settings.aligned_slack_tiles}")
+          f"tiles={num_tiles}")
 
     pairs_fn = jax.jit(lambda tt, rect, d: build_pairs(
         tt, rect, d, settings.grid_x, num_tiles, settings.pair_capacity))
@@ -128,19 +118,9 @@ def main():
     tc = np.asarray(pairs.tile_count)
     print(f"tile_count: max={tc.max()} mean={tc.mean():.1f} p99={np.percentile(tc, 99):.0f}")
 
-    align_fn = jax.jit(lambda p: pallas_rasterize._aligned_layout(
-        p, num_tiles, settings.aligned_slack_tiles))
-    align_fn(pairs)
-    print(f"aligned_layout: {timeit(align_fn, pairs):8.2f} ms")
-
-    feat_fn = jax.jit(lambda p, pr: pallas_rasterize._build_feat(
-        pr, p, *pallas_rasterize._aligned_layout(
-            p, num_tiles, settings.aligned_slack_tiles)[1:3]))
-    print(f"align+feat:     {timeit(feat_fn, pairs, prep):8.2f} ms")
-
-    layout_fn = jax.jit(lambda pr, p: pallas_rasterize.prepare_layout(
-        pr, p, num_tiles, settings.aligned_slack_tiles))
+    layout_fn = jax.jit(pallas_rasterize.prepare_layout)
     layout = layout_fn(prep, pairs)
+    print(f"feat build:     {timeit(layout_fn, prep, pairs):8.2f} ms")
 
     fwd_pallas = jax.jit(lambda pr, p, lo_: pallas_rasterize.composite_forward(
         pr, p, settings, row0=row0, layout=lo_))

@@ -91,7 +91,7 @@ def main():
         t2 = time.perf_counter()
         return (((t2 - t1) - (t1 - t0)) / (hi - lo)) * 1e3
 
-    # Fit pair capacity + aligned slack to the scene exactly like bench.py
+    # Fit the pair capacities to the scene exactly like bench.py
     # (the trainer auto-sizes the same way) — comparing a fitted full frame
     # against padded-capacity bands (or vice versa) would skew efficiency.
     from gstpu.config import RenderSettings as _RS
@@ -115,16 +115,6 @@ def main():
                            jnp.int32(d), band_rows, n)
         return int(np.asarray(tiles_b).sum())
 
-    # distinct touched tiles (aligned slack fitting, as in bench.py):
-    # rect-union coverage via 2D inclusion-exclusion + integral image
-    vis = tiles_np > 0
-    delta = np.zeros((probe.grid_y + 1, probe.grid_x + 1), np.int64)
-    np.add.at(delta, (rect_np[vis, 1], rect_np[vis, 0]), 1)
-    np.add.at(delta, (rect_np[vis, 1], rect_np[vis, 2]), -1)
-    np.add.at(delta, (rect_np[vis, 3], rect_np[vis, 0]), -1)
-    np.add.at(delta, (rect_np[vis, 3], rect_np[vis, 2]), 1)
-    coverage = delta.cumsum(0).cumsum(1)[: probe.grid_y, : probe.grid_x] > 0
-
     # post-cull pair count (RenderSettings.pair_cull; same fitting as bench)
     from gstpu.ops.rasterize import _render_fwd as _probe_fwd
     cap0 = fit_cap(int(tiles_np.sum()))
@@ -139,9 +129,7 @@ def main():
                           pair_capacity=cap0,
                           kept_capacity=fit_cap(int(probe_aux.num_kept)),
                           pair_cull=True,
-                          use_pallas=use_pallas, tight_radius=True,
-                          aligned_slack_tiles=min(probe.num_tiles,
-                                                  int(coverage.sum()) + 16))
+                          use_pallas=use_pallas, tight_radius=True)
     t_full = timeit(make_fwd_bwd(base, 0))
     result = {"t_full_ms": round(t_full, 3), "bands": {},
               "n_gaussians": N_GAUSSIANS, "live_pairs": int(tiles_np.sum()),
@@ -206,12 +194,9 @@ def main():
         # (the critical path), fitted like the full frame
         worst_live = max(band_live(n, d) for d in range(n))
         cap = fit_cap(worst_live)
-        slack = max(int(coverage[d::n].sum()) for d in range(n)) + 16
         s = dataclasses.replace(base, tile_rows=rows, row_stride=n,
                                 pair_capacity=cap,
-                                kept_capacity=fit_cap(worst_live * kept_frac),
-                                aligned_slack_tiles=min(rows * base.grid_x,
-                                                        slack))
+                                kept_capacity=fit_cap(worst_live * kept_frac))
         band_ms = [timeit(make_fwd_bwd(s, d), lo=3, hi=12) for d in range(n)]
         worst = max(band_ms)
         chain_full = chain_ms(N_GAUSSIANS)
