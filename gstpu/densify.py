@@ -44,12 +44,35 @@ class DensifyStats(NamedTuple):
     n_alive: jnp.ndarray    # () int32 after the event
 
 
+def clone_position_noise(key, n: int, scale) -> jnp.ndarray:
+    """(n, 3) noise added to cloned positions: U(0, scale).
+
+    Module-level hook: the reference keys its clone noise by SOURCE index
+    (optimizer.py:350-352, ``randf(i*3+k) * scale``); parity harnesses
+    monkeypatch this (together with the warp shim's ``randf``) with the same
+    index-keyed hash so both sides produce bit-equal clones.  Row i here IS
+    source index i — ``_append_masked`` scatters row i to clone(i)."""
+    return jax.random.uniform(key, (n, 3), jnp.float32, 0.0, scale)
+
+
+def split_position_jitter(key, target_idx, scale) -> jnp.ndarray:
+    """(n, 3) jitter for split children: U(-scale, scale).
+
+    Module-level hook like :func:`clone_position_noise`; the reference keys
+    split jitter by TARGET index (optimizer.py:295-299,
+    ``(randf(new_idx*3+k)*2-1) * 0.01``) — ``target_idx[i]`` is child i's
+    post-append slot, identical numbering to the reference's ``new_idx``."""
+    return jax.random.uniform(key, (target_idx.shape[0], 3), jnp.float32,
+                              -scale, scale)
+
+
 def _append_masked(model: GaussianModel, mask, make_new, n_copies: int,
                    key) -> tuple[GaussianModel, jnp.ndarray, jnp.ndarray]:
     """Append ``n_copies`` derived Gaussians for every masked entry.
 
-    ``make_new(params_of_source, copy_index, key)`` returns the derived param
-    dict.  Returns (model, n_appended, overflow).
+    ``make_new(params_of_source, copy_index, key, target)`` returns the
+    derived param dict (``target[i]`` = destination slot of source i's copy,
+    ``capacity`` = drop sentinel).  Returns (model, n_appended, overflow).
     """
     cap = model.capacity
     cum = jnp.cumsum(mask.astype(jnp.int32))
@@ -59,7 +82,7 @@ def _append_masked(model: GaussianModel, mask, make_new, n_copies: int,
     for c in range(n_copies):
         target = jnp.where(mask, base + c, cap)  # cap == drop sentinel
         derived = make_new(model.param_dict(), c,
-                           jax.random.fold_in(key, c))
+                           jax.random.fold_in(key, c), target)
         updates = {}
         for k, val in derived.items():
             arr = getattr(new, k)
@@ -104,9 +127,9 @@ def densify_and_prune(model: GaussianModel, pos_grads: jnp.ndarray,
     clone_mask = model.alive & high_grad & (max_scale <= scale_thresh)
     k_clone, k_split = jax.random.split(key)
 
-    def make_clone(p, _c, k):
-        noise = jax.random.uniform(k, p["positions"].shape, jnp.float32,
-                                   0.0, config.clone_noise_scale)
+    def make_clone(p, _c, k, _target):
+        noise = clone_position_noise(k, p["positions"].shape[0],
+                                     config.clone_noise_scale)
         return {**p, "positions": p["positions"] + noise}
 
     model1, n_cloned, ovf1 = _append_masked(model, clone_mask, make_clone, 1,
@@ -117,10 +140,8 @@ def densify_and_prune(model: GaussianModel, pos_grads: jnp.ndarray,
     # mask over originals; clones (appended past the old n_alive) never split.
     split_mask = model.alive & high_grad & (max_scale > scale_thresh)
 
-    def make_child(p, c, k):
-        jitter = jax.random.uniform(k, p["positions"].shape, jnp.float32,
-                                    -config.clone_noise_scale,
-                                    config.clone_noise_scale)
+    def make_child(p, c, k, target):
+        jitter = split_position_jitter(k, target, config.clone_noise_scale)
         if activated:  # x factor in render space == + log(factor) in logs
             child_scales = p["scales"] + jnp.log(
                 jnp.float32(config.split_scale_factor))

@@ -6,9 +6,13 @@ tiny dataset with the SAME config, the SAME injected initial parameters, and
 the SAME camera order — then reports per-step loss agreement and final PSNR
 for both, measured.  Full-scale Lego under the interpreted reference is
 infeasible (~hours/iteration at 800x800 in pure Python), so the comparison
-runs at 64x64 / few hundred points / no-densify scale, which exercises the
-full train step (render -> L1 -> backward -> scheduled Adam + the iteration-0
-opacity reset) end to end.
+runs at 64x64 / few hundred points, which exercises the full train step
+(render -> L1 -> backward -> scheduled Adam + the iteration-0 opacity reset)
+end to end.  ``--densify`` additionally drives the reference's own
+densification_and_pruning (train.py:351-714 + optimizer.py:143-416) under
+the shim through repeated clone/split/prune events with both sides' noise
+pinned to the same index-keyed hash, and reports per-event Gaussian-count
+agreement (VERDICT r2 item 5).
 
 Both final parameter sets are evaluated with the SAME renderer (gstpu's,
 which is golden-tested against the reference's forward kernels), so the PSNR
@@ -54,15 +58,20 @@ def make_dataset(root: Path) -> Path:
     return data
 
 
-def shared_init(n: int, seed: int = 7):
+def shared_init(n: int, seed: int = 7, mixed_scales: bool = False):
     """One initial parameter set injected into BOTH trainers (reference init
     distribution: U(-1.3,1.3)^3 positions, 0.1 iso scales, identity quat —
     the TRUE identity, both sides accept arbitrary quats — 0.1 opacity,
-    DC=-0.007 SH)."""
+    DC=-0.007 SH).  ``mixed_scales`` gives half the Gaussians small (0.01)
+    scales so densification events produce BOTH clones (small + high grad)
+    and splits (large + high grad) against the percent_dense threshold."""
     rng = np.random.default_rng(seed)
+    scales = np.full((n, 3), 0.1, np.float32)
+    if mixed_scales:
+        scales[::2] = 0.01
     return {
         "positions": rng.uniform(-1.3, 1.3, (n, 3)).astype(np.float32),
-        "scales": np.full((n, 3), 0.1, np.float32),
+        "scales": scales,
         "rotations": np.tile(np.array([0, 0, 0, 1], np.float32), (n, 1)),
         "opacities": np.full(n, 0.1, np.float32),
         "shs": np.concatenate(
@@ -71,13 +80,54 @@ def shared_init(n: int, seed: int = 7):
     }
 
 
-def run_reference(data: Path, out: Path, init, cam_seq, iterations: int):
+# --------------------------------------------------------------------------
+# Index-keyed densify noise, identical on both sides (SURVEY Q11: noise
+# MAGNITUDES matter, bit-parity of the PRNG does not — so for the parity
+# harness we pin both sides to the same cheap index hash instead of
+# replicating Warp's PRNG bit-for-bit).  The reference keys clone noise by
+# source index i (optimizer.py:350-352) and split jitter by target index
+# new_idx (optimizer.py:295-299); gstpu's densify hooks expose exactly those
+# indices.
+# --------------------------------------------------------------------------
+
+def _hash01(seed):
+    return (seed % 1024) / 1024.0
+
+
+def pin_densify_noise():
+    """Monkeypatch the shim's randf and gstpu's densify noise hooks to the
+    same index-keyed hash."""
+    import jax.numpy as jnp
+
+    from gstpu import densify
+    from tests.warp_shim import warpstub as wp
+
+    wp.randf = lambda seed: np.float32(_hash01(int(seed)))
+    wp.oob_read_zero = True  # Q14 semantics (see warpstub.array.__getitem__)
+
+    def clone_noise(key, n, scale):
+        seeds = (jnp.arange(n, dtype=jnp.int32)[:, None] * 3
+                 + jnp.arange(3, dtype=jnp.int32)[None, :])
+        return ((seeds % 1024).astype(jnp.float32) / 1024.0) * scale
+
+    def split_jitter(key, target_idx, scale):
+        seeds = (target_idx[:, None].astype(jnp.int32) * 3
+                 + jnp.arange(3, dtype=jnp.int32)[None, :])
+        u = (seeds % 1024).astype(jnp.float32) / 1024.0
+        return (u * 2.0 - 1.0) * scale
+
+    densify.clone_position_noise = clone_noise
+    densify.split_position_jitter = split_jitter
+
+
+def run_reference(data: Path, out: Path, init, cam_seq, iterations: int,
+                  cfg_overrides=None):
     from tests.warp_shim import load_reference_module, warpstub as wp
 
     ref_train = load_reference_module("train")
     ref_train.GaussianParams.update(
         num_points=len(init["opacities"]), num_iterations=iterations,
-        save_interval=1 << 30)
+        save_interval=1 << 30, **(cfg_overrides or {}))
     trainer = ref_train.NeRFGaussianSplattingTrainer(str(data), str(out))
     # inject the shared init
     trainer.params["positions"] = wp.array(init["positions"], dtype=wp.vec3)
@@ -91,16 +141,28 @@ def run_reference(data: Path, out: Path, init, cam_seq, iterations: int):
     it = iter([int(c) for c in cam_seq])
     orig = np.random.randint
     np.random.randint = lambda lo, hi=None, **kw: next(it)
+    # record the Gaussian count after every densification call that changed
+    # topology (train.py:1060: called once per iteration, post-Adam)
+    events: list[dict] = []
+    orig_dp = trainer.densification_and_pruning
+
+    def dp(iteration):
+        orig_dp(iteration)
+        events.append({"iteration": int(iteration),
+                       "n": int(trainer.num_points)})
+
+    trainer.densification_and_pruning = dp
     try:
         trainer.train()
     finally:
         np.random.randint = orig
     params = {k: np.array(v.numpy()) for k, v in trainer.params.items()}
     params["shs"] = params["shs"].reshape(-1, 16, 3)
-    return [float(l) for l in trainer.losses], params
+    return [float(l) for l in trainer.losses], params, events
 
 
-def run_gstpu(data: Path, out: Path, init, cam_seq, iterations: int):
+def run_gstpu(data: Path, out: Path, init, cam_seq, iterations: int,
+              cfg_overrides=None):
     import jax.numpy as jnp
 
     from gstpu.config import GSConfig
@@ -108,7 +170,7 @@ def run_gstpu(data: Path, out: Path, init, cam_seq, iterations: int):
 
     n = len(init["opacities"])
     cfg = GSConfig(num_points=n, num_iterations=iterations,
-                   save_interval=1 << 30)
+                   save_interval=1 << 30, **(cfg_overrides or {}))
     trainer = Trainer(str(data), str(out), config=cfg)
     pads = {k: np.zeros((trainer.model.capacity - n,) + v.shape[1:],
                         np.float32) for k, v in init.items()}
@@ -117,13 +179,34 @@ def run_gstpu(data: Path, out: Path, init, cam_seq, iterations: int):
            init.items()})
 
     class _FakeRng:
+        """Camera-order pin with a positional bit_generator so the trainer's
+        rollback snapshots (trainer.py take_snap) can save/restore it."""
+
         def __init__(self, seq):
-            self._it = iter([int(c) for c in seq])
+            self._seq = [int(c) for c in seq]
+            self._pos = 0
+            outer = self
+
+            class _BG:
+                @property
+                def state(self):
+                    return outer._pos
+
+                @state.setter
+                def state(self, v):
+                    outer._pos = v
+
+            self.bit_generator = _BG()
+
+        def _next(self):
+            v = self._seq[self._pos]
+            self._pos += 1
+            return v
 
         def integers(self, lo, hi=None, size=None):
             if size is None:
-                return next(self._it)
-            return np.array([next(self._it) for _ in range(size)])
+                return self._next()
+            return np.array([self._next() for _ in range(size)])
 
     orig = np.random.default_rng
     np.random.default_rng = lambda *a, **kw: _FakeRng(cam_seq)
@@ -134,7 +217,14 @@ def run_gstpu(data: Path, out: Path, init, cam_seq, iterations: int):
     n_alive = int(trainer.model.n_alive)
     params = {k: np.asarray(v)[:n_alive] for k, v in
               trainer.model.param_dict().items()}
-    return [float(l) for l in trainer.losses], params
+    events = []
+    for line in (Path(out) / "metrics.jsonl").read_text().splitlines():
+        rec = json.loads(line)
+        if rec.get("event") == "densify":
+            events.append({"iteration": rec["iteration"],
+                           "n": rec["n_alive"], "cloned": rec["cloned"],
+                           "split": rec["split"], "pruned": rec["pruned"]})
+    return [float(l) for l in trainer.losses], params, events
 
 
 def eval_psnr(data: Path, params) -> float:
@@ -169,18 +259,35 @@ def main():
     ap.add_argument("--iterations", type=int, default=100)
     ap.add_argument("--num-points", type=int, default=300)
     ap.add_argument("--workdir", default="/tmp/gstpu_cmp")
+    ap.add_argument("--densify", action="store_true", help=(
+        "run at a scale where densification fires repeatedly (VERDICT r2 "
+        "item 5): the reference's OWN densification_and_pruning executes "
+        "under the shim, both sides' clone/split noise is pinned to the "
+        "same index-keyed hash, and per-event Gaussian counts are compared"))
     args = ap.parse_args()
 
     root = Path(args.workdir)
     data = make_dataset(root)
-    init = shared_init(args.num_points)
+    init = shared_init(args.num_points, mixed_scales=args.densify)
     rng = np.random.default_rng(11)
     cam_seq = rng.integers(0, 4, size=args.iterations)
 
-    ref_losses, ref_params = run_reference(
-        data, root / "ref_out", init, cam_seq, args.iterations)
-    gs_losses, gs_params = run_gstpu(
-        data, root / "gstpu_out", init, cam_seq, args.iterations)
+    overrides = None
+    if args.densify:
+        if args.iterations == 100:
+            args.iterations = 120
+            cam_seq = rng.integers(0, 4, size=args.iterations)
+        # lower the gates so densify fires every 20 steps from step 20 on
+        # (train.py:385-391 semantics: fires when it > from and % interval
+        # == 0) and let prune engage at tiny scale (min_valid default 1000)
+        overrides = dict(densify_from_iter=20, densification_interval=20,
+                         densify_until_iter=1 << 30, min_valid_points=10)
+        pin_densify_noise()
+
+    ref_losses, ref_params, ref_events = run_reference(
+        data, root / "ref_out", init, cam_seq, args.iterations, overrides)
+    gs_losses, gs_params, gs_events = run_gstpu(
+        data, root / "gstpu_out", init, cam_seq, args.iterations, overrides)
 
     k = min(len(ref_losses), len(gs_losses))
     r = np.asarray(ref_losses[:k])
@@ -196,8 +303,26 @@ def main():
         "ref_train_psnr": eval_psnr(data, ref_params),
         "gstpu_train_psnr": eval_psnr(data, gs_params),
     }
+    if args.densify:
+        # per-event Gaussian-count agreement: the reference records n after
+        # EVERY densification call; compare at gstpu's in-window iterations
+        ref_n = {e["iteration"]: e["n"] for e in ref_events}
+        matches = [ref_n.get(e["iteration"]) == e["n"] for e in gs_events]
+        changed = [e for e in gs_events
+                   if e["cloned"] or e["split"] or e["pruned"]]
+        result.update({
+            "densify_events": gs_events,
+            "ref_event_n": [{"iteration": e["iteration"], "n": ref_n.get(
+                e["iteration"])} for e in gs_events],
+            "n_topology_changes": len(changed),
+            "counts_match": bool(matches and all(matches)),
+            "ref_final_n": len(ref_params["opacities"]),
+            "gstpu_final_n": len(gs_params["opacities"]),
+        })
+    name = "train_compare_densify.json" if args.densify \
+        else "train_compare.json"
     out_path = Path(__file__).resolve().parents[1] / "tests" / "golden" \
-        / "train_compare.json"
+        / name
     out_path.write_text(json.dumps(result, indent=2))
     print(json.dumps(result))
 

@@ -99,6 +99,10 @@ int64 = np.int64
 uint32 = np.uint32
 
 
+# Opt-in Q14 semantics for array.__getitem__ (see there).
+oob_read_zero = False
+
+
 def _resolve_dtype(dtype):
     """-> (np_dtype, comp_shape, comp_cls_or_None)."""
     if dtype is float or dtype is np.float32:
@@ -158,6 +162,18 @@ class array:
         return self.shape[0]
 
     def __getitem__(self, idx):
+        if (oob_read_zero and isinstance(idx, (int, np.integer))
+                and not -len(self._data) <= idx < len(self._data)):
+            # Q14 (SURVEY §7.1): train.py:479-492 launches
+            # mark_split_candidates over the POST-clone count while avg_grads
+            # still has the pre-clone size — an out-of-bounds read (UB under
+            # CUDA Warp).  This opt-in flag gives it the defined semantics
+            # gstpu chose: OOB reads as zero, so fresh clones never split in
+            # the same event.  Densify-parity harnesses enable it; golden
+            # generation keeps strict IndexError behavior.
+            v = np.zeros(self._comp, self._data.dtype)
+            return v.view(self._comp_cls) if self._comp_cls is not None \
+                else self._data.dtype.type(0)
         v = self._data[idx]
         if (self._comp_cls is not None and isinstance(v, np.ndarray)
                 and v.shape == self._comp):
