@@ -127,8 +127,13 @@ def run_reference(data: Path, out: Path, init, cam_seq, iterations: int,
     ref_train = load_reference_module("train")
     ref_train.GaussianParams.update(
         num_points=len(init["opacities"]), num_iterations=iterations,
-        save_interval=1 << 30, **(cfg_overrides or {}))
-    trainer = ref_train.NeRFGaussianSplattingTrainer(str(data), str(out))
+        save_interval=1 << 30)
+    # .get()-trap keys (densify_from_iter, min_valid_points, ...) are not
+    # GaussianParams fields — inject them through the ctor's raw config dict
+    # (train.py:129-130 ``self.config.update(config)``), which train.py's
+    # ``self.config.get(...)`` reads (train.py:385-391, 644)
+    trainer = ref_train.NeRFGaussianSplattingTrainer(
+        str(data), str(out), config=cfg_overrides)
     # inject the shared init
     trainer.params["positions"] = wp.array(init["positions"], dtype=wp.vec3)
     trainer.params["scales"] = wp.array(init["scales"], dtype=wp.vec3)

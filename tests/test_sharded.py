@@ -21,6 +21,25 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
 BG = np.zeros(3, np.float32)
 
 
+def test_pad_targets_to_grid_channelless_needs_padding():
+    """(B, H, W) depth targets at a height that is NOT a multiple of
+    n_model*16 must pad and permute exactly like the channelled path
+    (regression: jnp.pad was called with 4-D pad widths on 3-D input —
+    only surfaced at heights needing padding, e.g. the 800-px dryrun)."""
+    from gstpu.config import RenderSettings
+
+    settings = RenderSettings(width=80, height=80, pair_capacity=1 << 10)
+    x3 = np.arange(3 * 80 * 80, dtype=np.float32).reshape(3, 80, 80)
+    out3 = np.asarray(pad_targets_to_grid(jnp.asarray(x3), settings,
+                                          n_model=3))
+    out4 = np.asarray(pad_targets_to_grid(
+        jnp.asarray(np.repeat(x3[..., None], 3, axis=-1)), settings,
+        n_model=3))
+    # grid_y=5 -> band_rows=2 -> padded height 3*2*16=96
+    assert out3.shape == (3, 96, 80)
+    np.testing.assert_array_equal(out3, out4[..., 0])
+
+
 def _scene(seed=0, n=64):
     rng = np.random.default_rng(seed)
     cam = scenes.example_camera(width=64, height=64)  # grid_y=4
