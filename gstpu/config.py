@@ -171,6 +171,19 @@ class GSConfig:
     split_scale_factor: float = 0.8     # train.py:528 (0.8)
     split_n: int = 2                    # train.py:502
     opacity_reset_value: float = 0.01   # train.py:709
+    # Q16 (parity-only, default off): the reference sizes densify/prune
+    # outputs from an EXCLUSIVE scan's last element (train.py:433, 497,
+    # 581, 641), excluding the final array element's mask bit, and its
+    # kernels' writes for that element land one past the output (silently
+    # dropped by bounds-checked Warp; UB on release CUDA).  Net effect per
+    # event: the last pre-clone element never clones; a split event drops
+    # its final appended child (and a split-masked final element vanishes
+    # childless); an engaged prune drops the final surviving Gaussian —
+    # which also means prune compaction fires whenever the guards pass,
+    # even with zero true prune candidates.  gstpu keeps exact counts by
+    # default; densify-parity harnesses enable this to match the
+    # reference's executing behavior bit-for-bit.
+    q16_last_index: bool = False
 
     # === parameterization ===
     # "raw": the reference's scheme (Q2) — raw scales floored at 0.001, raw

@@ -125,6 +125,12 @@ def densify_and_prune(model: GaussianModel, pos_grads: jnp.ndarray,
 
     # --- step 1: clone small Gaussians (train.py:414-476) ---
     clone_mask = model.alive & high_grad & (max_scale <= scale_thresh)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    if config.q16_last_index:
+        # Q16 (config.py): total_to_clone excludes the final element's mask
+        # bit (train.py:433) and its clone write is OOB-dropped — the last
+        # pre-clone element never clones
+        clone_mask = clone_mask & (idx != model.n_alive - 1)
     k_clone, k_split = jax.random.split(key)
 
     def make_clone(p, _c, k, _target):
@@ -151,10 +157,35 @@ def densify_and_prune(model: GaussianModel, pos_grads: jnp.ndarray,
                 "positions": p["positions"] + jitter,
                 "scales": child_scales}
 
-    model2, n_children, ovf2 = _append_masked(model1, split_mask, make_child,
-                                              config.split_n, k_split)
-    # remove split originals, then compact (train.py:544-619)
-    model2 = model2.replace(alive=model2.alive & jnp.logical_not(split_mask))
+    if config.q16_last_index:
+        # Q16: total_to_split excludes the post-clone array's final
+        # element's mask bit (train.py:497).  If that leaves zero, the
+        # whole split block is skipped (nothing removed either); otherwise
+        # a split-masked final element gets no children (OOB writes) but IS
+        # removed (train.py:556-558 marks it), and the compaction count
+        # (train.py:581) excludes the final appended child, which the
+        # step-2 compact then drops.
+        last1 = model1.n_alive - 1
+        eff = jnp.sum(split_mask.astype(jnp.int32)) \
+            - split_mask[last1].astype(jnp.int32)
+        do_split = eff > 0
+        child_src = split_mask & (idx != last1) & do_split
+        remove_mask = split_mask & do_split
+        model2, n_children, ovf2 = _append_masked(
+            model1, child_src, make_child, config.split_n, k_split)
+        last_child = model1.n_alive + config.split_n * eff - 1
+        drop_last_child = do_split & (n_children > 0)
+        model2 = model2.replace(
+            alive=model2.alive & jnp.logical_not(remove_mask)
+            & ((idx != last_child) | ~drop_last_child),
+            n_alive=model2.n_alive - drop_last_child.astype(jnp.int32))
+        n_children = n_children - drop_last_child.astype(jnp.int32)
+    else:
+        model2, n_children, ovf2 = _append_masked(
+            model1, split_mask, make_child, config.split_n, k_split)
+        # remove split originals, then compact (train.py:544-619)
+        model2 = model2.replace(
+            alive=model2.alive & jnp.logical_not(split_mask))
     model2 = compact(model2)
 
     # --- step 3: prune by opacity with guards (train.py:621-693) ---
@@ -163,6 +194,16 @@ def densify_and_prune(model: GaussianModel, pos_grads: jnp.ndarray,
     keep = model2.alive & (real_opac > config.cull_opacity_threshold)
     valid_count = jnp.sum(keep.astype(jnp.int32))
     num_points = model2.n_alive
+    if config.q16_last_index:
+        # Q16: valid_count excludes the final element's keep bit
+        # (train.py:641) and compact_gaussians' write for a surviving final
+        # element is OOB-dropped — so the guards see the undercount, the
+        # `valid_count < num_points` gate passes whenever the final element
+        # survives (even with zero true prune candidates), and an engaged
+        # prune always drops the final surviving Gaussian.
+        valid_count = valid_count \
+            - keep[model2.n_alive - 1].astype(jnp.int32)
+        keep = keep & (idx != model2.n_alive - 1)
     prune_count = num_points - valid_count
     prune_ratio = prune_count.astype(jnp.float32) / jnp.maximum(
         num_points.astype(jnp.float32), 1.0)

@@ -104,6 +104,7 @@ def pin_densify_noise():
 
     wp.randf = lambda seed: np.float32(_hash01(int(seed)))
     wp.oob_read_zero = True  # Q14 semantics (see warpstub.array.__getitem__)
+    wp.oob_write_drop = True  # Q16 semantics (see warpstub.array.__setitem__)
 
     def clone_noise(key, n, scale):
         seeds = (jnp.arange(n, dtype=jnp.int32)[:, None] * 3
@@ -285,8 +286,12 @@ def main():
         # lower the gates so densify fires every 20 steps from step 20 on
         # (train.py:385-391 semantics: fires when it > from and % interval
         # == 0) and let prune engage at tiny scale (min_valid default 1000)
+        # q16_last_index replicates the reference's exclusive-scan count
+        # off-by-one on the gstpu side (gstpu/config.py Q16); the reference
+        # ctor-config dict simply ignores the unknown key
         overrides = dict(densify_from_iter=20, densification_interval=20,
-                         densify_until_iter=1 << 30, min_valid_points=10)
+                         densify_until_iter=1 << 30, min_valid_points=10,
+                         q16_last_index=True)
         pin_densify_noise()
 
     ref_losses, ref_params, ref_events = run_reference(

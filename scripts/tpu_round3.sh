@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# One-shot TPU capture for round 3: run every TPU-dependent yardstick in
+# priority order, tolerating per-stage failure (the axon tunnel has had
+# multi-hour outages — round 2's BENCH_r02 was lost to one).  Each stage
+# logs to $LOGDIR/<stage>.log; a stage failure does not stop later stages.
+#
+# Usage: bash scripts/tpu_round3.sh [logdir]   (default /tmp/tpu_round3)
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR=${1:-/tmp/tpu_round3}
+mkdir -p "$LOGDIR"
+
+stage() {  # stage <name> <timeout-sec> <cmd...>
+    local name=$1 tmo=$2; shift 2
+    echo "=== $name ($(date +%H:%M:%S)) ==="
+    if timeout "$tmo" "$@" > "$LOGDIR/$name.log" 2>&1; then
+        echo "    ok: $(tail -1 "$LOGDIR/$name.log" | head -c 200)"
+    else
+        echo "    FAILED rc=$? (see $LOGDIR/$name.log)"
+    fi
+}
+
+# 0. quick probe — if the backend is down, bail early
+if ! timeout 120 python -c "import jax; print(jax.devices())" \
+        > "$LOGDIR/probe.log" 2>&1; then
+    echo "TPU probe failed/hung — backend still down"; exit 1
+fi
+echo "TPU up: $(cat "$LOGDIR/probe.log")"
+
+# 1. headline bench (includes compiled-Pallas parity gate + vs_sol)
+stage bench 2400 python bench.py
+
+# 2. speed-of-light floor refresh
+stage sol 1800 python scripts/sol_model.py
+
+# 3. scaling proxy at 100k (SCALING.json) and 1M (SCALING_1000k.json)
+stage scaling_100k 2400 python scripts/scaling_proxy.py
+stage scaling_1000k 3000 python scripts/scaling_proxy.py --n 1000000
+
+# 4. official 3DGS recipe on Lego: 7k and 15k budgets
+stage train_7k 4200 python train.py --dataset /root/reference/data/lego \
+    --output /tmp/lego_official_7k --pallas --activated \
+    --lambda-dssim 0.2 --sh-warmup 1000 --iterations 7000
+stage train_15k 7200 python train.py --dataset /root/reference/data/lego \
+    --output /tmp/lego_official_15k --pallas --activated \
+    --lambda-dssim 0.2 --sh-warmup 1000 --iterations 15000
+
+# 5. qualitative artifacts from the 15k (fall back to 7k) point cloud
+PLY=$(ls -t /tmp/lego_official_15k/point_cloud/*/point_cloud.ply 2>/dev/null \
+      | head -1)
+[ -z "$PLY" ] && PLY=$(ls -t /tmp/lego_official_7k/point_cloud/*/point_cloud.ply \
+      2>/dev/null | head -1)
+if [ -n "$PLY" ]; then
+    stage turntable 1200 python -m scripts.render_turntable --ply "$PLY" \
+        --out "$LOGDIR/turntable.gif"
+fi
+
+echo "=== done ($(date +%H:%M:%S)); logs in $LOGDIR ==="

@@ -75,6 +75,58 @@ def test_prune_guard_min_valid_points():
     assert int(new.n_alive) == 8
 
 
+def test_q16_last_index_quirk_semantics():
+    """q16_last_index replicates the reference's exclusive-scan count
+    off-by-one (GSConfig Q16, train.py:433/497/581/641): the last element
+    never clones, a split event drops its final appended child, a
+    split-masked final element vanishes childless, and an engaged prune
+    drops the final surviving Gaussian."""
+    # 1. last element clone-masked -> no clone happens at all
+    model, cfg = _model()
+    cfg = cfg.replace(min_valid_points=1, q16_last_index=True)
+    grads = np.zeros((32, 3), np.float32)
+    grads[7] = 1.0                       # last alive (n_alive=8) index 7
+    m = model.replace(scales=model.scales.at[:].set(0.001))
+    new, stats = densify_and_prune(m, jnp.asarray(grads), 10.0, cfg,
+                                   jax.random.PRNGKey(1))
+    assert int(stats.n_cloned) == 0
+    # prune engages (all survive, q16 forces valid_count < num_points) and
+    # drops the final survivor: 8 -> 7
+    assert int(stats.n_pruned) == 1 and int(new.n_alive) == 7
+
+    # 2. split event: masked elements 2 and 7 (the final one) -> element 2
+    # splits into 2 children, element 7 vanishes childless, the final
+    # appended child is dropped -> alive = 8 - 2 originals + 1 child,
+    # then the engaged prune drops the final survivor
+    grads = np.zeros((32, 3), np.float32)
+    grads[2] = grads[7] = 1.0
+    scales = np.full((32, 3), 0.001, np.float32)
+    scales[2] = scales[7] = 0.5
+    m = model.replace(scales=jnp.asarray(scales))
+    new, stats = densify_and_prune(m, jnp.asarray(grads), 10.0, cfg,
+                                   jax.random.PRNGKey(1))
+    assert int(stats.n_split) == 1       # 2 appended, final one dropped
+    assert int(new.n_alive) == 6         # 8 - 2 + 1 - 1(prune quirk)
+
+    # 3. ONLY the final element split-masked -> eff total 0 -> whole split
+    # block skipped, element stays; prune quirk still drops the final
+    grads = np.zeros((32, 3), np.float32)
+    grads[7] = 1.0
+    m = model.replace(scales=jnp.asarray(
+        np.where(np.arange(32)[:, None] == 7, 0.5, 0.001).astype(np.float32)))
+    new, stats = densify_and_prune(m, jnp.asarray(grads), 10.0, cfg,
+                                   jax.random.PRNGKey(1))
+    assert int(stats.n_split) == 0
+    assert int(new.n_alive) == 7
+
+    # 4. default config: exact counts, no quirk
+    cfg0 = cfg.replace(q16_last_index=False)
+    new, stats = densify_and_prune(m, jnp.asarray(grads), 10.0, cfg0,
+                                   jax.random.PRNGKey(1))
+    assert int(stats.n_split) == 2 and int(new.n_alive) == 9
+    assert int(stats.n_pruned) == 0
+
+
 def test_capacity_overflow_reported():
     model, cfg = _model(n=8, capacity=9)
     cfg = cfg.replace(min_valid_points=1)

@@ -102,6 +102,19 @@ uint32 = np.uint32
 # Opt-in Q14 semantics for array.__getitem__ (see there).
 oob_read_zero = False
 
+# Opt-in Q16 semantics for array.__setitem__: drop out-of-bounds scalar
+# writes silently, as bounds-checked (debug-mode) Warp does.  The reference
+# sizes its densify/prune outputs from an EXCLUSIVE scan's last element
+# (train.py:432-433, 496-497, 580-581, 640-641), which excludes the final
+# array element's mask bit — so when that element is masked, the kernel's
+# write for it lands one past the output (clone_gaussians /
+# split_gaussians / compact_gaussians, optimizer.py) and is dropped (UB
+# under release CUDA).  Effective semantics: the final element never
+# clones/splits and is dropped by compaction when it survives pruning.
+# Densify-parity harnesses enable this; golden generation keeps strict
+# IndexError behavior so transcription bugs still surface.
+oob_write_drop = False
+
 
 def _resolve_dtype(dtype):
     """-> (np_dtype, comp_shape, comp_cls_or_None)."""
@@ -181,6 +194,9 @@ class array:
         return v
 
     def __setitem__(self, idx, val):
+        if (oob_write_drop and isinstance(idx, (int, np.integer))
+                and not -len(self._data) <= idx < len(self._data)):
+            return  # Q16: bounds-checked Warp drops OOB writes (see flag)
         self._data[idx] = np.asarray(val)
 
     def numpy(self):
