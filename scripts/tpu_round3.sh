@@ -54,5 +54,12 @@ if [ -n "$PLY" ]; then
     stage turntable 1200 python -m scripts.render_turntable --ply "$PLY" \
         --out "$LOGDIR/turntable.gif"
 fi
+for run in /tmp/lego_official_15k /tmp/lego_official_7k; do
+    if ls "$run"/render_*.png >/dev/null 2>&1; then
+        stage train_gif 600 python -m scripts.make_train_gif --run "$run" \
+            --out "$LOGDIR/train_progress.gif"
+        break
+    fi
+done
 
 echo "=== done ($(date +%H:%M:%S)); logs in $LOGDIR ==="
