@@ -270,6 +270,14 @@ def main():
         "item 5): the reference's OWN densification_and_pruning executes "
         "under the shim, both sides' clone/split noise is pinned to the "
         "same index-keyed hash, and per-event Gaussian counts are compared"))
+    ap.add_argument("--frozen", action="store_true", help=(
+        "with --densify: freeze parameter evolution (lr=1e-30, far below "
+        "f32 ulp of any parameter, so Adam updates round to exact no-ops) "
+        "and pick thresholds no evolving quantity can cross.  Event masks "
+        "become bit-deterministic, so per-event Gaussian counts must match "
+        "EXACTLY — any mismatch is a logic error, not f32 state drift.  "
+        "(The realistic --densify config keeps thresholds live and "
+        "quantifies the drift-induced mask flips instead.)"))
     args = ap.parse_args()
 
     root = Path(args.workdir)
@@ -279,25 +287,65 @@ def main():
     cam_seq = rng.integers(0, 4, size=args.iterations)
 
     overrides = None
+    ref_extra = {}
+    gs_extra = {}
     if args.densify:
         if args.iterations == 100:
-            args.iterations = 120
+            args.iterations = 50
             cam_seq = rng.integers(0, 4, size=args.iterations)
-        # lower the gates so densify fires every 20 steps from step 20 on
+        # Lower the gates so densify fires every 15 steps from step 15 on
         # (train.py:385-391 semantics: fires when it > from and % interval
-        # == 0) and let prune engage at tiny scale (min_valid default 1000)
+        # == 0), let prune engage at tiny scale (min_valid default 1000),
+        # and make the event MASKS drift-robust: with a negligible grad
+        # threshold every rendered Gaussian is "high-grad", so clone vs
+        # split is decided by the bimodal scale split (0.01 vs 0.1 — far
+        # from percent_dense * extent) instead of knife-edge grad-threshold
+        # comparisons that f32 state drift flips (measured: ~1e-3 relative
+        # loss drift by step 40 flips ~3 of 300 mask bits, compounding).
         # q16_last_index replicates the reference's exclusive-scan count
         # off-by-one on the gstpu side (gstpu/config.py Q16); the reference
-        # ctor-config dict simply ignores the unknown key
-        overrides = dict(densify_from_iter=20, densification_interval=20,
+        # ctor-config dict simply ignores the unknown key.
+        overrides = dict(densify_from_iter=10, densification_interval=15,
                          densify_until_iter=1 << 30, min_valid_points=10,
-                         q16_last_index=True)
+                         densify_grad_threshold=1e-12, q16_last_index=True)
         pin_densify_noise()
+        if args.frozen:
+            # Exact-match regime: grad threshold 0.0 passes EVERY alive
+            # Gaussian (the reference compares >=, optimizer.py:199/232 —
+            # visibility knife-edges gone), lr=1e-30 freezes all parameters
+            # bit-exactly (scales stay at their 0.01/0.1 init modes, far
+            # from percent_dense*extent = 0.04), and cull threshold -1
+            # disables real pruning (the Q16 forced compaction still
+            # engages the prune path every event).  lr=0 exactly would
+            # crash the reference's scheduler (final_lr/initial_lr = 0/0,
+            # scheduler.py:25).
+            overrides.update(densify_grad_threshold=0.0,
+                             cull_opacity_threshold=-1.0,
+                             densify_from_iter=0, densification_interval=2)
+            if args.iterations == 50:
+                args.iterations = 7        # events at 2, 4, 6; N 300 -> ~2400
+                cam_seq = cam_seq[:7]
+            lr0 = 1e-30
+            ref_extra = dict(lr_scheduler_config={
+                "lr_pos": lr0, "lr_scale": lr0, "lr_rot": lr0,
+                "lr_sh": lr0, "lr_opac": lr0, "final_lr_factor": 0.01})
+            gs_extra = dict(lr_pos=lr0, lr_scale=lr0, lr_rot=lr0,
+                            lr_sh=lr0, lr_opac=lr0)
+
+    # fresh output dirs: the trainers APPEND to metrics.jsonl/losses, and a
+    # previous run's densify events would pollute the event comparison
+    import shutil
+    shutil.rmtree(root / "ref_out", ignore_errors=True)
+    shutil.rmtree(root / "gstpu_out", ignore_errors=True)
 
     ref_losses, ref_params, ref_events = run_reference(
-        data, root / "ref_out", init, cam_seq, args.iterations, overrides)
+        data, root / "ref_out", init, cam_seq, args.iterations,
+        {**(overrides or {}), **ref_extra} if (overrides or ref_extra)
+        else None)
     gs_losses, gs_params, gs_events = run_gstpu(
-        data, root / "gstpu_out", init, cam_seq, args.iterations, overrides)
+        data, root / "gstpu_out", init, cam_seq, args.iterations,
+        {**(overrides or {}), **gs_extra} if (overrides or gs_extra)
+        else None)
 
     k = min(len(ref_losses), len(gs_losses))
     r = np.asarray(ref_losses[:k])
@@ -329,8 +377,12 @@ def main():
             "ref_final_n": len(ref_params["opacities"]),
             "gstpu_final_n": len(gs_params["opacities"]),
         })
-    name = "train_compare_densify.json" if args.densify \
-        else "train_compare.json"
+    if args.densify:
+        result["mode"] = "frozen" if args.frozen else "live"
+        name = ("train_compare_densify_frozen.json" if args.frozen
+                else "train_compare_densify.json")
+    else:
+        name = "train_compare.json"
     out_path = Path(__file__).resolve().parents[1] / "tests" / "golden" \
         / name
     out_path.write_text(json.dumps(result, indent=2))
