@@ -260,26 +260,12 @@ def eval_psnr(data: Path, params) -> float:
     return float(np.mean(vals))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--iterations", type=int, default=100)
-    ap.add_argument("--num-points", type=int, default=300)
-    ap.add_argument("--workdir", default="/tmp/gstpu_cmp")
-    ap.add_argument("--densify", action="store_true", help=(
-        "run at a scale where densification fires repeatedly (VERDICT r2 "
-        "item 5): the reference's OWN densification_and_pruning executes "
-        "under the shim, both sides' clone/split noise is pinned to the "
-        "same index-keyed hash, and per-event Gaussian counts are compared"))
-    ap.add_argument("--frozen", action="store_true", help=(
-        "with --densify: freeze parameter evolution (lr=1e-30, far below "
-        "f32 ulp of any parameter, so Adam updates round to exact no-ops) "
-        "and pick thresholds no evolving quantity can cross.  Event masks "
-        "become bit-deterministic, so per-event Gaussian counts must match "
-        "EXACTLY — any mismatch is a logic error, not f32 state drift.  "
-        "(The realistic --densify config keeps thresholds live and "
-        "quantifies the drift-induced mask flips instead.)"))
-    args = ap.parse_args()
-
+def run_compare(iterations=100, num_points=300, workdir="/tmp/gstpu_cmp",
+                densify=False, frozen=False, write_golden=True):
+    """Full head-to-head; returns the result dict (see main for modes)."""
+    args = argparse.Namespace(iterations=iterations, num_points=num_points,
+                              workdir=workdir, densify=densify,
+                              frozen=frozen)
     root = Path(args.workdir)
     data = make_dataset(root)
     init = shared_init(args.num_points, mixed_scales=args.densify)
@@ -383,10 +369,34 @@ def main():
                 else "train_compare_densify.json")
     else:
         name = "train_compare.json"
-    out_path = Path(__file__).resolve().parents[1] / "tests" / "golden" \
-        / name
-    out_path.write_text(json.dumps(result, indent=2))
+    if write_golden:
+        out_path = Path(__file__).resolve().parents[1] / "tests" / "golden" \
+            / name
+        out_path.write_text(json.dumps(result, indent=2))
     print(json.dumps(result))
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iterations", type=int, default=100)
+    ap.add_argument("--num-points", type=int, default=300)
+    ap.add_argument("--workdir", default="/tmp/gstpu_cmp")
+    ap.add_argument("--densify", action="store_true", help=(
+        "run at a scale where densification fires repeatedly (VERDICT r2 "
+        "item 5): the reference's OWN densification_and_pruning executes "
+        "under the shim, both sides' clone/split noise is pinned to the "
+        "same index-keyed hash, and per-event Gaussian counts are compared"))
+    ap.add_argument("--frozen", action="store_true", help=(
+        "with --densify: freeze parameter evolution (lr=1e-30, far below "
+        "f32 ulp of any parameter, so Adam updates round to exact no-ops) "
+        "and pick thresholds no evolving quantity can cross.  Event masks "
+        "become bit-deterministic, so per-event Gaussian counts must match "
+        "EXACTLY — any mismatch is a logic error, not f32 state drift.  "
+        "(The realistic --densify config keeps thresholds live and "
+        "quantifies the drift-induced mask flips instead.)"))
+    a = ap.parse_args()
+    run_compare(a.iterations, a.num_points, a.workdir, a.densify, a.frozen)
 
 
 if __name__ == "__main__":
