@@ -7,8 +7,8 @@ readback up front and (b) report the slope between two iteration counts,
 which cancels the fixed per-sync overhead.
 
 Flags:
-  --fitted        fit pair capacity + aligned slack to the scene (bench.py's
-                  sizing) instead of the padded CAP default
+  --fitted        fit the pair capacities to the scene (bench.py's sizing)
+                  instead of the padded CAP default
   --band N [D]    profile device D's (default 0) round-robin band at N
                   devices (the sharded step's per-device work) — combine
                   with --fitted for the real multi-chip per-device cost

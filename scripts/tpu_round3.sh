@@ -33,9 +33,13 @@ stage bench 2400 python bench.py
 # 2. speed-of-light floor refresh
 stage sol 1800 python scripts/sol_model.py
 
-# 3. scaling proxy at 100k (SCALING.json) and 1M (SCALING_1000k.json)
+# 3. scaling proxy at 100k (SCALING.json) and 1M (SCALING_1000k.json),
+#    plus per-stage decompositions of the full frame and the worst 8-way
+#    band so the non-scaling terms are attributed, not guessed
 stage scaling_100k 2400 python scripts/scaling_proxy.py
 stage scaling_1000k 3000 python scripts/scaling_proxy.py --n 1000000
+stage profile_full 1800 python -m scripts.profile_stages --fitted
+stage profile_band8 1800 python -m scripts.profile_stages --fitted --band 8
 
 # 4. official 3DGS recipe on Lego: 7k and 15k budgets
 stage train_7k 4200 python train.py --dataset /root/reference/data/lego \
