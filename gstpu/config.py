@@ -203,6 +203,11 @@ class GSConfig:
     initial_opacity: float = 0.1        # train.py:66
     initial_sh_dc: float = -0.007       # train.py:88
     init_position_extent: float = 1.3   # train.py:53-55 ([-1.3, 1.3]^3 cube)
+    # Seed Gaussians from the SfM point cloud when the dataset provides one
+    # (COLMAP captures; gstpu/data/colmap.py) — positions/colors/KNN scales
+    # per the official 3DGS recipe.  Beyond-reference: the reference only
+    # initializes at random (Q8).  Ignored for NeRF-synthetic datasets.
+    init_from_points: bool = True
 
     # === scene & rendering (config.py:67-70) ===
     scene_scale: float = 1.0

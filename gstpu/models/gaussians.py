@@ -94,6 +94,62 @@ def init_model(key: jax.Array, config: GSConfig,
                          alive=alive, n_alive=jnp.int32(n))
 
 
+SH_C0 = 0.28209479177387814  # Y_00; matches ops/preprocess SH evaluation
+
+
+def init_model_from_points(config: GSConfig, xyz, rgb,
+                           capacity: int | None = None) -> GaussianModel:
+    """SfM point-cloud initialization (official 3DGS recipe; beyond-
+    reference — the reference only initializes at random, Q8):
+
+    - positions at the SfM points,
+    - isotropic scales = distance to the 3rd-ish nearest neighbor
+      (sqrt of the mean squared distance to the 3 nearest, floored at
+      1e-7 like the official ``distCUDA2`` clamp),
+    - SH DC from the point color: (rgb - 0.5) / C0,
+    - identity rotations, opacity = ``initial_opacity``.
+
+    Runs on the host (NumPy/scipy) — init is a one-time event.
+    """
+    import numpy as np
+
+    xyz = np.asarray(xyz, np.float32)
+    rgb = np.asarray(rgb, np.float32)
+    n = xyz.shape[0]
+    if capacity is None:
+        capacity = int(n * config.capacity_headroom)
+    capacity = max(capacity, n)
+
+    from scipy.spatial import cKDTree
+    # k=4: the point itself plus its 3 nearest neighbors
+    dists, _ = cKDTree(xyz).query(xyz, k=min(4, n))
+    dist2 = np.maximum((dists[:, 1:] ** 2).mean(axis=1)
+                       if n > 1 else np.full(n, 1e-4), 1e-7)
+    scale = np.sqrt(dist2).astype(np.float32)
+
+    init_opac = config.initial_opacity
+    scales_n = np.tile(scale[:, None], (1, 3))
+    if config.parameterization == "activated":
+        scales_n = np.log(scales_n)
+        init_opac = float(np.log(init_opac / (1.0 - init_opac)))
+
+    positions = np.zeros((capacity, 3), np.float32)
+    positions[:n] = xyz
+    scales = np.full((capacity, 3), scales_n[0, 0] if n else 0.0, np.float32)
+    scales[:n] = scales_n
+    shs = np.zeros((capacity, 16, 3), np.float32)
+    shs[:n, 0, :] = (rgb - 0.5) / SH_C0
+    rotations = np.tile(np.asarray([0.0, 0.0, 0.0, 1.0], np.float32),
+                        (capacity, 1))
+    opacities = np.full((capacity,), init_opac, np.float32)
+    alive = np.arange(capacity) < n
+    return GaussianModel(
+        positions=jnp.asarray(positions), scales=jnp.asarray(scales),
+        rotations=jnp.asarray(rotations), opacities=jnp.asarray(opacities),
+        shs=jnp.asarray(shs), alive=jnp.asarray(alive),
+        n_alive=jnp.int32(n))
+
+
 def grow_capacity(model: GaussianModel, new_capacity: int) -> GaussianModel:
     """Pad all arrays to a larger capacity (host-side recompile boundary)."""
     c = model.capacity

@@ -62,15 +62,20 @@ class Trainer:
         self.output_path = Path(output_path)
         self.output_path.mkdir(parents=True, exist_ok=True)
 
-        self.train_data = NerfSyntheticDataset(dataset_path, "train")
+        # NeRF-synthetic (transforms_*.json, the reference's only format) or
+        # a COLMAP capture (sparse/0 model + images/, beyond-reference)
+        from gstpu.data.colmap import ColmapDataset, is_colmap_dataset
+        ds_cls = ColmapDataset if is_colmap_dataset(dataset_path) \
+            else NerfSyntheticDataset
+        self.train_data = ds_cls(dataset_path, "train")
         try:
-            self.val_data = NerfSyntheticDataset(dataset_path, "val")
+            self.val_data = ds_cls(dataset_path, "val")
         except FileNotFoundError:
             self.val_data = None
         try:
             # the reference loads the test split but never evaluates it
             # (train.py:149; SURVEY §5) — we evaluate it after training
-            self.test_data = NerfSyntheticDataset(dataset_path, "test")
+            self.test_data = ds_cls(dataset_path, "test")
         except FileNotFoundError:
             self.test_data = None
 
@@ -85,11 +90,21 @@ class Trainer:
 
         key = jax.random.PRNGKey(self.config.seed)
         self.key, init_key = jax.random.split(key)
+        sfm = None
+        if self.config.init_from_points and hasattr(self.train_data,
+                                                    "points3d"):
+            sfm = self.train_data.points3d()  # (xyz, rgb) from COLMAP
+        n_init = len(sfm[0]) if sfm is not None else self.config.num_points
         cap = None
         if self.n_model > 1:  # capacity must split evenly over 'model'
-            cap = int(self.config.num_points * self.config.capacity_headroom)
+            cap = int(n_init * self.config.capacity_headroom)
             cap = -(-cap // self.n_model) * self.n_model
-        self.model = init_model(init_key, self.config, capacity=cap)
+        if sfm is not None:
+            from gstpu.models.gaussians import init_model_from_points
+            self.model = init_model_from_points(self.config, *sfm,
+                                                capacity=cap)
+        else:
+            self.model = init_model(init_key, self.config, capacity=cap)
         if mesh is not None:
             self.model = self._shard_model(self.model)
         self.adam = init_adam_state(self.model.param_dict())
@@ -103,6 +118,8 @@ class Trainer:
         # scales with it)
         self._kept_capacity = self._pair_capacity
         self._metrics_file = open(self.output_path / "metrics.jsonl", "a")
+        if sfm is not None:
+            self._log({"event": "sfm_init", "n_points": n_init})
         self._densify_jit = jax.jit(densify_mod.densify_and_prune,
                                     static_argnums=(2, 3))
         # Device-resident target images (the reference re-reads and re-uploads

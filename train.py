@@ -46,6 +46,10 @@ def main():
     parser.add_argument("--n-data", type=int, default=1,
                         help="camera-batch data parallelism (devices used = "
                              "n_model * n_data)")
+    parser.add_argument("--random-init", action="store_true",
+                        help="ignore a COLMAP dataset's SfM point cloud and "
+                             "initialize at random (the reference's Q8 "
+                             "behavior); no effect on NeRF-synthetic data")
     args = parser.parse_args()
 
     config = GSConfig()
@@ -66,6 +70,8 @@ def main():
                                 lr_opac=0.05, schedule_opac=False)
     if args.sh_warmup is not None:
         config = config.replace(sh_degree_interval=args.sh_warmup)
+    if args.random_init:
+        config = config.replace(init_from_points=False)
 
     mesh = None
     if args.n_model:
