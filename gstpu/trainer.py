@@ -549,6 +549,11 @@ class Trainer:
         params_np = {k: np.asarray(v) for k, v in
                      model.param_dict().items()}
         save_ply(params_np, ckpt_dir / "point_cloud.ply", n)
+        cams_json = self.output_path / "cameras.json"
+        if not cams_json.exists():  # static across training: write once
+            from gstpu.utils.camera import save_cameras_json
+            save_cameras_json(self.train_data.cameras, cams_json,
+                              getattr(self.train_data, "image_paths", None))
         with open(self.output_path / "loss.txt", "w") as f:
             f.writelines(f"{loss}\n" for loss in self.losses)
         if save_images:

@@ -158,6 +158,32 @@ def load_camera_from_json(json_path: str, camera_id: int = 0,
     return load_camera(info, znear=znear, zfar=zfar)
 
 
+def save_cameras_json(cameras: List[Dict[str, Any]], path,
+                      image_names: List[str] | None = None) -> None:
+    """Write the official 3DGS viewer ``cameras.json`` (one entry per
+    camera: id, img_name, width, height, position, rotation (camera-to-
+    world 3x3), fx, fy).  Together with the exact-schema PLY export this
+    makes a training output directory loadable by standard 3DGS viewers.
+    (The reference defines only a dead JSON *loader* with its own schema,
+    camera_utils.py:93-113.)"""
+    entries = []
+    for i, cam in enumerate(cameras):
+        R_w2c = np.asarray(cam["R"], np.float64)
+        name = image_names[i] if image_names else f"{i:05d}"
+        entries.append({
+            "id": i,
+            "img_name": os.path.splitext(os.path.basename(name))[0],
+            "width": int(cam["width"]),
+            "height": int(cam["height"]),
+            "position": [float(x) for x in cam["camera_center"]],
+            "rotation": [[float(x) for x in row] for row in R_w2c.T],
+            "fx": float(cam["width"] / (2.0 * cam["tan_fovx"])),
+            "fy": float(cam["height"] / (2.0 * cam["tan_fovy"])),
+        })
+    with open(path, "w") as f:
+        json.dump(entries, f)
+
+
 def load_nerf_cameras(dataset_path: str, split: str) -> Tuple[List[Dict[str, Any]], List[str]]:
     """Parse ``transforms_{split}.json`` (reference train.py:265-321)."""
     import imageio.v2 as imageio

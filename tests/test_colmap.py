@@ -173,6 +173,31 @@ def test_init_model_from_points():
         np.log(0.1 / 0.9), rel=1e-5)
 
 
+def test_save_cameras_json_viewer_schema(tmp_path):
+    """cameras.json (official 3DGS viewer schema) round-trips the pose."""
+    import json
+
+    from gstpu.utils.camera import save_cameras_json
+
+    _write_model(tmp_path, binary=True)
+    ds = ColmapDataset(str(tmp_path), "train")
+    out = tmp_path / "cameras.json"
+    save_cameras_json(ds.cameras, out, ds.image_paths)
+    entries = json.load(open(out))
+    assert len(entries) == len(ds)
+    e = entries[0]
+    assert set(e) == {"id", "img_name", "width", "height", "position",
+                      "rotation", "fx", "fy"}
+    cam = ds.camera(0)
+    assert e["fx"] == pytest.approx(FX) and e["fy"] == pytest.approx(FY)
+    np.testing.assert_allclose(e["position"], cam["camera_center"],
+                               atol=1e-6)
+    # rotation is camera-to-world: R_c2w == R_w2c^T
+    np.testing.assert_allclose(np.asarray(e["rotation"]),
+                               np.asarray(cam["R"]).T, atol=1e-6)
+    assert e["img_name"] == "r_01"
+
+
 @pytest.mark.slow
 def test_trainer_on_colmap_dataset(tmp_path):
     """End-to-end: the Trainer auto-detects a COLMAP capture, seeds from the
