@@ -203,6 +203,10 @@ class GSConfig:
     initial_opacity: float = 0.1        # train.py:66
     initial_sh_dc: float = -0.007       # train.py:88
     init_position_extent: float = 1.3   # train.py:53-55 ([-1.3, 1.3]^3 cube)
+    # Render/train at 1/downscale of the capture resolution (official 3DGS
+    # ``-r``): pixel dims and pixel focals shrink together, field of view
+    # unchanged.  Essential for megapixel COLMAP captures.
+    downscale: int = 1
     # Seed Gaussians from the SfM point cloud when the dataset provides one
     # (COLMAP captures; gstpu/data/colmap.py) — positions/colors/KNN scales
     # per the official 3DGS recipe.  Beyond-reference: the reference only

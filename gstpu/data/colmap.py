@@ -207,10 +207,11 @@ class ColmapDataset:
 
     def __init__(self, dataset_path: str, split: str = "train",
                  cache_images: bool = True, white_background: bool = False,
-                 holdout: int = 8):
+                 holdout: int = 8, downscale: int = 1):
         self.dataset_path = dataset_path
         self.split = split
         self.white_background = white_background
+        self.downscale = int(downscale)
         sparse = _find_sparse_dir(dataset_path)
         if os.path.isfile(os.path.join(sparse, "cameras.bin")):
             cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
@@ -237,15 +238,18 @@ class ColmapDataset:
 
         self.cameras, self.image_paths = [], []
         sizes = set()
+        d = self.downscale
         for entry in keep:
             cam = cams[entry["camera_id"]]
             _, _, (fxi, fyi, _, _) = _MODEL_BY_NAME[cam["model"]]
             R = qvec_to_rotmat(entry["qvec"])
+            # downscale divides pixel dimensions AND pixel focals together
+            # (field of view unchanged — official 3DGS -r semantics)
             self.cameras.append(_camera_record(
-                R, entry["tvec"], cam["width"], cam["height"],
-                fx=cam["params"][fxi], fy=cam["params"][fyi]))
+                R, entry["tvec"], cam["width"] // d, cam["height"] // d,
+                fx=cam["params"][fxi] / d, fy=cam["params"][fyi] / d))
             self.image_paths.append(os.path.join(img_dir, entry["name"]))
-            sizes.add((cam["width"], cam["height"]))
+            sizes.add((cam["width"] // d, cam["height"] // d))
         if len(sizes) > 1:
             raise ValueError(
                 f"mixed image sizes in COLMAP model: {sorted(sizes)} — "
@@ -272,9 +276,12 @@ class ColmapDataset:
         if self._cache_enabled and idx in self._cache:
             u8 = self._cache[idx]
         else:
+            from gstpu.data.nerf import resize_u8
+
             u8 = imageio.imread(self.image_paths[idx])
             if u8.ndim == 2:
                 u8 = np.stack([u8] * 3, -1)
+            u8 = resize_u8(u8, self.width, self.height)
             if self._cache_enabled:
                 self._cache[idx] = u8
         img = u8.astype(np.float32) / 255.0

@@ -22,14 +22,31 @@ import numpy as np
 from gstpu.utils.camera import load_nerf_cameras
 
 
+def resize_u8(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Resize a (H, W[, C]) uint8 image (PIL bilinear — the official 3DGS
+    ``-r`` path resizes with PIL the same way)."""
+    if img.shape[0] == height and img.shape[1] == width:
+        return img
+    from PIL import Image
+
+    if img.ndim == 2:
+        return np.asarray(Image.fromarray(img).resize(
+            (width, height), Image.BILINEAR))
+    chans = [np.asarray(Image.fromarray(img[..., c]).resize(
+        (width, height), Image.BILINEAR)) for c in range(img.shape[-1])]
+    return np.stack(chans, axis=-1)
+
+
 class NerfSyntheticDataset:
     def __init__(self, dataset_path: str, split: str = "train",
                  cache_images: bool = True,
-                 white_background: bool = False):
+                 white_background: bool = False, downscale: int = 1):
         self.dataset_path = dataset_path
         self.split = split
         self.white_background = white_background
-        self.cameras, self.image_paths = load_nerf_cameras(dataset_path, split)
+        self.downscale = int(downscale)
+        self.cameras, self.image_paths = load_nerf_cameras(
+            dataset_path, split, downscale=self.downscale)
         self._cache: Dict[int, np.ndarray] = {}
         self._cache_enabled = cache_images
 
@@ -50,7 +67,7 @@ class NerfSyntheticDataset:
         img = imageio.imread(self.image_paths[idx])
         if img.ndim == 2:
             img = np.stack([img] * 3, -1)
-        return img
+        return resize_u8(img, self.width, self.height)
 
     def image(self, idx: int) -> np.ndarray:
         """(H, W, 3) float32 in [0, 1]."""
@@ -104,5 +121,6 @@ class NerfSyntheticDataset:
         img = imageio.imread(path)
         if img.ndim == 3:
             img = img[..., 0]
+        img = resize_u8(img, self.width, self.height)
         d = img.astype(np.float32) / 255.0
         return d, (d > 0).astype(np.float32)

@@ -67,15 +67,16 @@ class Trainer:
         from gstpu.data.colmap import ColmapDataset, is_colmap_dataset
         ds_cls = ColmapDataset if is_colmap_dataset(dataset_path) \
             else NerfSyntheticDataset
-        self.train_data = ds_cls(dataset_path, "train")
+        d = self.config.downscale
+        self.train_data = ds_cls(dataset_path, "train", downscale=d)
         try:
-            self.val_data = ds_cls(dataset_path, "val")
+            self.val_data = ds_cls(dataset_path, "val", downscale=d)
         except FileNotFoundError:
             self.val_data = None
         try:
             # the reference loads the test split but never evaluates it
             # (train.py:149; SURVEY §5) — we evaluate it after training
-            self.test_data = ds_cls(dataset_path, "test")
+            self.test_data = ds_cls(dataset_path, "test", downscale=d)
         except FileNotFoundError:
             self.test_data = None
 

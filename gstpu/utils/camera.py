@@ -184,8 +184,13 @@ def save_cameras_json(cameras: List[Dict[str, Any]], path,
         json.dump(entries, f)
 
 
-def load_nerf_cameras(dataset_path: str, split: str) -> Tuple[List[Dict[str, Any]], List[str]]:
-    """Parse ``transforms_{split}.json`` (reference train.py:265-321)."""
+def load_nerf_cameras(dataset_path: str, split: str,
+                      downscale: int = 1) -> Tuple[List[Dict[str, Any]], List[str]]:
+    """Parse ``transforms_{split}.json`` (reference train.py:265-321).
+
+    ``downscale`` divides the rendered resolution (official 3DGS ``-r``):
+    width/height and the pixel focal shrink together, so the field of view
+    is unchanged."""
     import imageio.v2 as imageio
 
     transforms_path = os.path.join(dataset_path, f"transforms_{split}.json")
@@ -195,7 +200,7 @@ def load_nerf_cameras(dataset_path: str, split: str) -> Tuple[List[Dict[str, Any
     first = transforms["frames"][0]
     first_img = os.path.join(dataset_path, first["file_path"] + ".png")
     img = imageio.imread(first_img)
-    height, width = img.shape[0], img.shape[1]
+    height, width = img.shape[0] // downscale, img.shape[1] // downscale
     focal = 0.5 * width / np.tan(0.5 * transforms["camera_angle_x"])
 
     cameras, image_paths = [], []

@@ -173,6 +173,45 @@ def test_init_model_from_points():
         np.log(0.1 / 0.9), rel=1e-5)
 
 
+def test_downscale_preserves_fov(tmp_path):
+    """downscale=2 halves pixel dims and focals together: image shapes
+    shrink, tan_fov (and thus the rendered framing) is unchanged."""
+    _write_model(tmp_path, binary=True)
+    full = ColmapDataset(str(tmp_path), "train")
+    half = ColmapDataset(str(tmp_path), "train", downscale=2)
+    assert (half.width, half.height) == (W // 2, H // 2)
+    assert half.image(0).shape == (H // 2, W // 2, 3)
+    c0, c1 = full.camera(0), half.camera(0)
+    assert c1["tan_fovx"] == pytest.approx(c0["tan_fovx"])
+    assert c1["tan_fovy"] == pytest.approx(c0["tan_fovy"])
+    np.testing.assert_allclose(c1["world_to_camera"],
+                               c0["world_to_camera"], atol=1e-6)
+    # the projection matrix depends only on the FoV -> identical too
+    np.testing.assert_allclose(c1["full_proj_matrix"],
+                               c0["full_proj_matrix"], atol=1e-6)
+
+
+def test_nerf_downscale(tmp_path):
+    """The NeRF loader's downscale path: dims halve, FoV fixed."""
+    import subprocess
+    import sys
+
+    from gstpu.data.nerf import NerfSyntheticDataset
+
+    subprocess.run([sys.executable, "scripts/make_tiny_nerf.py", "--out",
+                    str(tmp_path / "tiny")], check=True,
+                   capture_output=True)
+    full = NerfSyntheticDataset(str(tmp_path / "tiny"), "train")
+    half = NerfSyntheticDataset(str(tmp_path / "tiny"), "train", downscale=2)
+    assert (half.width, half.height) == (full.width // 2, full.height // 2)
+    assert half.image(0).shape == (full.height // 2, full.width // 2, 3)
+    assert half.camera(0)["tan_fovx"] == pytest.approx(
+        full.camera(0)["tan_fovx"])
+    if full.has_depth:
+        d, m = half.depth(0)
+        assert d.shape == (full.height // 2, full.width // 2)
+
+
 def test_save_cameras_json_viewer_schema(tmp_path):
     """cameras.json (official 3DGS viewer schema) round-trips the pose."""
     import json

@@ -46,6 +46,9 @@ def main():
     parser.add_argument("--n-data", type=int, default=1,
                         help="camera-batch data parallelism (devices used = "
                              "n_model * n_data)")
+    parser.add_argument("--resolution", "-r", type=int, default=1,
+                        help="train at 1/N of the capture resolution "
+                             "(official 3DGS -r; FoV unchanged)")
     parser.add_argument("--random-init", action="store_true",
                         help="ignore a COLMAP dataset's SfM point cloud and "
                              "initialize at random (the reference's Q8 "
@@ -72,6 +75,8 @@ def main():
         config = config.replace(sh_degree_interval=args.sh_warmup)
     if args.random_init:
         config = config.replace(init_from_points=False)
+    if args.resolution != 1:
+        config = config.replace(downscale=args.resolution)
 
     mesh = None
     if args.n_model:
