@@ -171,6 +171,12 @@ class GSConfig:
     split_scale_factor: float = 0.8     # train.py:528 (0.8)
     split_n: int = 2                    # train.py:502
     opacity_reset_value: float = 0.01   # train.py:709
+    # Official 3DGS split sampling (opt-in): children are sampled from the
+    # parent's own Gaussian (N(0, S) rotated by the parent) and child
+    # scales divide by 0.8*split_n — instead of the reference's +-0.01
+    # uniform jitter x0.8 scales, which barely separates children of LARGE
+    # Gaussians.  Off by default to preserve reference-parity behavior.
+    official_split_sampling: bool = False
     # Q16 (parity-only, default off): the reference sizes densify/prune
     # outputs from an EXCLUSIVE scan's last element (train.py:433, 497,
     # 581, 641), excluding the final array element's mask bit, and its

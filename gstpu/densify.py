@@ -147,12 +147,31 @@ def densify_and_prune(model: GaussianModel, pos_grads: jnp.ndarray,
     split_mask = model.alive & high_grad & (max_scale > scale_thresh)
 
     def make_child(p, c, k, target):
-        jitter = split_position_jitter(k, target, config.clone_noise_scale)
-        if activated:  # x factor in render space == + log(factor) in logs
-            child_scales = p["scales"] + jnp.log(
-                jnp.float32(config.split_scale_factor))
+        if config.official_split_sampling:
+            # Official 3DGS split: each child is SAMPLED from the parent's
+            # own Gaussian (N(0, S) rotated by the parent's R), and child
+            # scales divide by 0.8 * split_n.  Far better conditioned than
+            # the reference's +-clone_noise_scale uniform jitter for large
+            # Gaussians (whose extent >> 0.01); opt-in so the
+            # reference-parity behavior stays the default.
+            from gstpu.ops.math3d import quat_to_rotmat
+            real_s = jnp.exp(p["scales"]) if activated else p["scales"]
+            eps = jax.random.normal(k, p["positions"].shape, jnp.float32)
+            R = quat_to_rotmat(p["rotations"])          # (N, 3, 3)
+            jitter = jnp.einsum("nij,nj->ni", R, eps * real_s)
+            factor = 1.0 / (0.8 * config.split_n)
+            if activated:
+                child_scales = p["scales"] + jnp.log(jnp.float32(factor))
+            else:
+                child_scales = p["scales"] * factor
         else:
-            child_scales = p["scales"] * config.split_scale_factor
+            jitter = split_position_jitter(k, target,
+                                           config.clone_noise_scale)
+            if activated:  # x factor in render space == + log in logs
+                child_scales = p["scales"] + jnp.log(
+                    jnp.float32(config.split_scale_factor))
+            else:
+                child_scales = p["scales"] * config.split_scale_factor
         return {**p,
                 "positions": p["positions"] + jitter,
                 "scales": child_scales}

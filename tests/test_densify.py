@@ -75,6 +75,39 @@ def test_prune_guard_min_valid_points():
     assert int(new.n_alive) == 8
 
 
+def test_official_split_sampling():
+    """Opt-in official 3DGS split: children sampled from the parent's own
+    Gaussian (spread ~ parent scale, not +-0.01) and scales divided by
+    0.8 * split_n; reference jitter stays the default."""
+    model, cfg = _model()
+    cfg = cfg.replace(min_valid_points=1, official_split_sampling=True)
+    grads = np.zeros((32, 3), np.float32)
+    grads[2] = 1.0
+    scales = np.full((32, 3), 0.001, np.float32)
+    scales[2] = 0.5
+    model = model.replace(scales=jnp.asarray(scales))
+    orig_pos = np.asarray(model.positions[2])
+    new, stats = densify_and_prune(model, jnp.asarray(grads), 10.0, cfg,
+                                   jax.random.PRNGKey(1))
+    assert int(stats.n_split) == 2 and int(new.n_alive) == 9
+    scl = np.asarray(new.scales[:9])
+    children = np.where(np.isclose(scl.max(-1), 0.5 / 1.6))[0]
+    assert len(children) == 2
+    d = np.abs(np.asarray(new.positions[:9])[children] - orig_pos)
+    # sampled from N(0, 0.5): children land well outside the +-0.011
+    # envelope of the reference jitter with overwhelming probability
+    assert d.max() > 0.05
+    # activated scheme: same children in render space (log storage)
+    cfg_a = cfg.replace(parameterization="activated")
+    model_a = model.replace(scales=jnp.log(model.scales),
+                            opacities=jnp.full((32,), 0.0, jnp.float32))
+    new_a, stats_a = densify_and_prune(model_a, jnp.asarray(grads), 10.0,
+                                       cfg_a, jax.random.PRNGKey(1))
+    assert int(stats_a.n_split) == 2
+    scl_a = np.exp(np.asarray(new_a.scales[:9]))
+    assert np.isclose(scl_a.max(-1), 0.5 / 1.6).sum() == 2
+
+
 def test_q16_last_index_quirk_semantics():
     """q16_last_index replicates the reference's exclusive-scan count
     off-by-one (GSConfig Q16, train.py:433/497/581/641): the last element

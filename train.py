@@ -49,6 +49,10 @@ def main():
     parser.add_argument("--resolution", "-r", type=int, default=1,
                         help="train at 1/N of the capture resolution "
                              "(official 3DGS -r; FoV unchanged)")
+    parser.add_argument("--official-split", action="store_true",
+                        help="sample split children from the parent "
+                             "Gaussian (official 3DGS) instead of the "
+                             "reference's +-0.01 uniform jitter")
     parser.add_argument("--random-init", action="store_true",
                         help="ignore a COLMAP dataset's SfM point cloud and "
                              "initialize at random (the reference's Q8 "
@@ -77,6 +81,8 @@ def main():
         config = config.replace(init_from_points=False)
     if args.resolution != 1:
         config = config.replace(downscale=args.resolution)
+    if args.official_split:
+        config = config.replace(official_split_sampling=True)
 
     mesh = None
     if args.n_model:
