@@ -166,10 +166,13 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
     pl.when branches with STATIC slot indices, and the feature block is a
     vector select over both slots (reading the inactive, possibly mid-DMA
     slot is safe — its lanes are discarded).  Compute stays chunk-granular
-    via static sub-slices.  Color/depth/n_contrib accumulate as full
-    (256, C) carries and reduce across lanes ONCE after the loop — the only
-    per-chunk lane reduction is the transmittance min (a true sequential
-    dependency).
+    via static sub-slices, and chunks past the tile's live span (or after
+    every pixel saturates) are SKIPPED via ``lax.cond`` — DMA is
+    block-granular so a ~170-pair tile still transfers one 512-pair BLOCK,
+    but it no longer pays 4 chunks of VPU alpha/compositing math for it
+    (the kernels are compute-bound; the skipped chunks' lanes are
+    all-masked, so skipping is exact).  Accumulators are per-chunk-reduced
+    (256, 1) columns, keeping the cond carries to a few vregs.
     """
     t = pl.program_id(0)
     start = tile_start[t]
@@ -202,11 +205,16 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         kept = indiv & (p_incl >= T_EPS) & jnp.logical_not(done)
         w = jnp.where(kept, alpha_eff * t_ex, 0.0)        # (256, C)
 
-        cacc = (cacc[0] + w * _feat_row(feat, 6, lane_valid),
-                cacc[1] + w * _feat_row(feat, 7, lane_valid),
-                cacc[2] + w * _feat_row(feat, 8, lane_valid))
-        dacc = dacc + w * _feat_row(feat, 9, lane_valid)
-        last = jnp.maximum(last, jnp.where(kept, pos + 1, 0))
+        cacc = (cacc[0] + jnp.sum(w * _feat_row(feat, 6, lane_valid),
+                                  axis=1, keepdims=True),
+                cacc[1] + jnp.sum(w * _feat_row(feat, 7, lane_valid),
+                                  axis=1, keepdims=True),
+                cacc[2] + jnp.sum(w * _feat_row(feat, 8, lane_valid),
+                                  axis=1, keepdims=True))
+        dacc = dacc + jnp.sum(w * _feat_row(feat, 9, lane_valid),
+                              axis=1, keepdims=True)
+        last = jnp.maximum(last, jnp.max(jnp.where(kept, pos + 1, 0),
+                                         axis=1, keepdims=True))
 
         p_kept = jnp.where(kept, p_incl, jnp.inf)
         p_last = jnp.min(p_kept, axis=1, keepdims=True)
@@ -231,9 +239,26 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
 
         feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
         for u in range(BLOCK_CHUNKS):
-            trans, done, cacc, dacc, last = one_chunk(
-                feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
-                b * BLOCK_CHUNKS + u, trans, done, cacc, dacc, last)
+            c = b * BLOCK_CHUNKS + u
+            chunk_feat = feat_blk[:, u * CHUNK:(u + 1) * CHUNK]
+            if u == 0:
+                # chunk 0 of a processed block always intersects the span
+                # (while cond: b*BLOCK < span and not all done)
+                trans, done, cacc, dacc, last = one_chunk(
+                    chunk_feat, c, trans, done, cacc, dacc, last)
+            else:
+                # skip chunks past the live span / once every pixel is done:
+                # their lanes are all-masked so skipping is exact, and the
+                # typical tile (~170 pairs vs BLOCK=512) stops paying VPU
+                # math for the block's dead tail.  Carries are (256, 1)
+                # columns — the scf.if merge is a few vregs, not the chunk.
+                live = (b * BLOCK + u * CHUNK < span) \
+                    & jnp.logical_not(jnp.all(done))
+                trans, done, cacc, dacc, last = jax.lax.cond(
+                    live,
+                    lambda a, f=chunk_feat, ci=c: one_chunk(f, ci, *a),
+                    lambda a: a,
+                    (trans, done, cacc, dacc, last))
 
         # the consumed slot is free: prefetch block b+2 into it
         @pl.when(even & ((b + 2) * BLOCK < span))
@@ -250,10 +275,10 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         b, done = carry[0], carry[2]
         return (b * BLOCK < span) & jnp.logical_not(jnp.all(done))
 
-    zc = jnp.zeros((TILE_PIXELS, CHUNK), jnp.float32)
+    zc = jnp.zeros((TILE_PIXELS, 1), jnp.float32)
     init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
             jnp.zeros((TILE_PIXELS, 1), jnp.bool_),
-            (zc, zc, zc), zc, jnp.zeros((TILE_PIXELS, CHUNK), jnp.int32))
+            (zc, zc, zc), zc, jnp.zeros((TILE_PIXELS, 1), jnp.int32))
     (b_end, trans, _, cacc, dacc, last) = jax.lax.while_loop(cond, body, init)
 
     # early exit (or count == 0 skip) can leave prefetched DMAs un-waited;
@@ -278,13 +303,12 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
 
     # pack results as rows of the (1, 8, 256) output block; n_contrib rides
     # as bitcast float bits (exact int32 round trip)
-    out_ref[0, 0, :] = jnp.sum(cacc[0], axis=1)
-    out_ref[0, 1, :] = jnp.sum(cacc[1], axis=1)
-    out_ref[0, 2, :] = jnp.sum(cacc[2], axis=1)
-    out_ref[0, 3, :] = jnp.sum(dacc, axis=1)
+    out_ref[0, 0, :] = cacc[0][:, 0]
+    out_ref[0, 1, :] = cacc[1][:, 0]
+    out_ref[0, 2, :] = cacc[2][:, 0]
+    out_ref[0, 3, :] = dacc[:, 0]
     out_ref[0, 4, :] = trans[:, 0]
-    out_ref[0, 5, :] = pltpu.bitcast(
-        jnp.max(last, axis=1, keepdims=True), jnp.float32)[:, 0]
+    out_ref[0, 5, :] = pltpu.bitcast(last, jnp.float32)[:, 0]
     out_ref[0, 6, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
     out_ref[0, 7, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
 
@@ -468,9 +492,25 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
         all_rows = []
         for u in range(BLOCK_CHUNKS):
-            rows, trans, done, prefix_u = one_chunk(
-                feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
-                b * BLOCK_CHUNKS + u, trans, done, prefix_u)
+            c = b * BLOCK_CHUNKS + u
+            chunk_feat = feat_blk[:, u * CHUNK:(u + 1) * CHUNK]
+            if u == 0:
+                rows, trans, done, prefix_u = one_chunk(
+                    chunk_feat, c, trans, done, prefix_u)
+            else:
+                # skip chunks past the live span / after pixel saturation
+                # (same gating as the forward kernel); the skipped chunk's
+                # grad rows are exact zeros — identical to what the masked
+                # compute produced, at no VPU/MXU cost.
+                live = (b * BLOCK + u * CHUNK < span) \
+                    & jnp.logical_not(jnp.all(done))
+                zrows = tuple(jnp.zeros((CHUNK,), jnp.float32)
+                              for _ in range(10))
+                rows, trans, done, prefix_u = jax.lax.cond(
+                    live,
+                    lambda a, f=chunk_feat, ci=c: one_chunk(f, ci, *a),
+                    lambda a, z=zrows: (z,) + a,
+                    (trans, done, prefix_u))
             all_rows.append(rows)
 
         def write_and_send(slot: int):
