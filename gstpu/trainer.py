@@ -16,6 +16,7 @@ Functional equivalent of the reference ``NeRFGaussianSplattingTrainer``
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import json
 import os
@@ -118,6 +119,12 @@ class Trainer:
         # post-cull pair count (13.6-44% smaller — every downstream stage
         # scales with it)
         self._kept_capacity = self._pair_capacity
+        # Full-frame eval/debug renders keep their own capacities: under a
+        # mesh the training capacities are fitted to the per-BAND need
+        # (flush pmaxes counts over bands), ~1/n_model of a full frame —
+        # rendering eval images with them would silently drop tiles.
+        self._eval_pair_capacity = self._pair_capacity
+        self._eval_kept_capacity = self._kept_capacity
         self._metrics_file = open(self.output_path / "metrics.jsonl", "a")
         if sfm is not None:
             self._log({"event": "sfm_init", "n_points": n_init})
@@ -262,6 +269,46 @@ class Trainer:
             p["rotations"], p["opacities"], p["shs"], view, proj, campos, bg,
             model.alive, jnp.int32(0))
         return image, depth, aux
+
+    def _render_full(self, model: GaussianModel, view, proj, campos):
+        """Full-frame single-device render with overflow regrow.
+
+        Training capacities track the per-band need under a mesh and the
+        train-camera need single-device; an eval camera or a full frame can
+        exceed both.  Renders, checks the exact pair counts the render
+        reports, and regrows the eval-only capacities until the frame is
+        overflow-free — eval PSNR and debug images must never quietly drop
+        tiles (the same contract flush() enforces for training steps).
+        """
+        scale = self.n_model if self.mesh is not None else 1
+        self._eval_pair_capacity = max(self._eval_pair_capacity,
+                                       self._pair_capacity * scale)
+        self._eval_kept_capacity = max(self._eval_kept_capacity,
+                                       self._kept_capacity * scale)
+        for _ in range(4):
+            pair_cap = self._round_capacity(self._eval_pair_capacity)
+            settings = dataclasses.replace(
+                self._settings(), pair_capacity=pair_cap,
+                kept_capacity=min(
+                    self._round_capacity(self._eval_kept_capacity), pair_cap))
+            image, depth, aux = self._render_eval_aux(settings, model,
+                                                      view, proj, campos)
+            num_pairs = int(aux.num_pairs)
+            num_kept = int(aux.num_kept)
+            if (num_pairs <= settings.pair_capacity
+                    and num_kept <= settings.kept_capacity):
+                return image, depth, aux
+            if num_pairs > settings.pair_capacity:
+                # num_kept came from the truncated list — extrapolate the
+                # cull rate to the true pair count (same censoring fix as
+                # flush())
+                num_kept = min(num_pairs, -(-num_kept * num_pairs
+                                            // settings.pair_capacity))
+            self._eval_pair_capacity = max(self._eval_pair_capacity,
+                                           num_pairs)
+            self._eval_kept_capacity = max(self._eval_kept_capacity,
+                                           num_kept)
+        return image, depth, aux  # bounded retries: last render best-effort
 
     # ------------------------------------------------------------------
     def _maybe_densify(self, pos_grads, key) -> None:
@@ -518,14 +565,13 @@ class Trainer:
 
         data = data if data is not None else self.val_data
         vals, ssims = [], []
-        settings = self._settings()
         model = (self._gather_model(self.model) if self.mesh is not None
                  else self.model)
         n_views = len(data) if max_views is None else min(max_views, len(data))
         for idx in range(n_views):
             cam = data.camera(idx)
-            img, _ = self._render_eval(
-                settings, model, jnp.asarray(cam["world_to_camera"]),
+            img, _, _ = self._render_full(
+                model, jnp.asarray(cam["world_to_camera"]),
                 jnp.asarray(cam["full_proj_matrix"]),
                 jnp.asarray(cam["camera_center"]))
             target = jnp.asarray(data.image(idx))
@@ -573,8 +619,8 @@ class Trainer:
         cam = self.train_data.camera(0)
         model = (self._gather_model(self.model) if self.mesh is not None
                  else self.model)
-        img, _, aux = self._render_eval_aux(
-            self._settings(), model, jnp.asarray(cam["world_to_camera"]),
+        img, _, aux = self._render_full(
+            model, jnp.asarray(cam["world_to_camera"]),
             jnp.asarray(cam["full_proj_matrix"]),
             jnp.asarray(cam["camera_center"]))
         arr = np.clip(np.asarray(img), 0.0, 1.0)
