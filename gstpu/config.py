@@ -213,6 +213,12 @@ class GSConfig:
     # ``-r``): pixel dims and pixel focals shrink together, field of view
     # unchanged.  Essential for megapixel COLMAP captures.
     downscale: int = 1
+    # COLMAP captures: hold out every N-th image (sorted by name) as the
+    # test split — the official 3DGS ``--eval`` protocol (llffhold=8).
+    # 0 trains on every image (the official DEFAULT) but then there is no
+    # val/test split to evaluate.  NeRF-synthetic datasets ignore this
+    # (they ship explicit transforms_{val,test}.json splits).
+    eval_holdout: int = 8
     # Seed Gaussians from the SfM point cloud when the dataset provides one
     # (COLMAP captures; gstpu/data/colmap.py) — positions/colors/KNN scales
     # per the official 3DGS recipe.  Beyond-reference: the reference only

@@ -41,6 +41,10 @@ _CAMERA_MODELS = {
     4: ("OPENCV", 8, (0, 1, 2, 3)),
     5: ("OPENCV_FISHEYE", 8, (0, 1, 2, 3)),
     6: ("FULL_OPENCV", 12, (0, 1, 2, 3)),
+    7: ("FOV", 5, (0, 1, 2, 3)),
+    8: ("SIMPLE_RADIAL_FISHEYE", 4, (0, 0, 1, 2)),
+    9: ("RADIAL_FISHEYE", 5, (0, 0, 1, 2)),
+    10: ("THIN_PRISM_FISHEYE", 12, (0, 1, 2, 3)),
 }
 _MODEL_BY_NAME = {name: (mid, n, idx)
                   for mid, (name, n, idx) in _CAMERA_MODELS.items()}
@@ -117,13 +121,24 @@ def read_cameras_text(path: str) -> Dict[int, dict]:
 
 def read_images_text(path: str) -> Dict[int, dict]:
     out = {}
-    lines = [ln for ln in open(path)
-             if not ln.startswith("#") and ln.strip()]
-    for ln in lines[::2]:  # every image uses two lines; 2nd is 2D points
+    # Every image record is a pose line followed by a 2D-points line.  The
+    # points line is EMPTY for images without triangulated tracks, so the
+    # pairing must be stateful — filtering blanks then striding by two would
+    # shift every later record by one line.
+    expect_pose = True
+    for ln in open(path):
+        if ln.startswith("#"):
+            continue
+        if not expect_pose:          # 2D-points line (may be blank)
+            expect_pose = True
+            continue
+        if not ln.strip():           # stray blank between records
+            continue
         p = ln.split()
         out[int(p[0])] = {"qvec": np.array([float(x) for x in p[1:5]]),
                           "tvec": np.array([float(x) for x in p[5:8]]),
                           "camera_id": int(p[8]), "name": p[9]}
+        expect_pose = False
     return out
 
 
@@ -238,6 +253,7 @@ class ColmapDataset:
 
         self.cameras, self.image_paths = [], []
         sizes = set()
+        focals = set()
         d = self.downscale
         for entry in keep:
             cam = cams[entry["camera_id"]]
@@ -250,10 +266,20 @@ class ColmapDataset:
                 fx=cam["params"][fxi] / d, fy=cam["params"][fyi] / d))
             self.image_paths.append(os.path.join(img_dir, entry["name"]))
             sizes.add((cam["width"] // d, cam["height"] // d))
+            focals.add((round(float(cam["params"][fxi]), 4),
+                        round(float(cam["params"][fyi]), 4)))
         if len(sizes) > 1:
             raise ValueError(
                 f"mixed image sizes in COLMAP model: {sorted(sizes)} — "
                 "the trainer renders at one fixed resolution")
+        if len(focals) > 1:
+            # the Trainer/evaluator apply ONE global tan_fov to every view
+            # (trainer.py reads camera(0)); rendering other-focal views with
+            # it would be silently wrong geometry, not a soft degradation
+            raise ValueError(
+                f"mixed focal lengths in COLMAP model: {sorted(focals)} — "
+                "per-view intrinsics are not supported; re-run COLMAP with "
+                "a shared camera (--ImageReader.single_camera 1)")
         self._cache: Dict[int, np.ndarray] = {}
         self._cache_enabled = cache_images
 

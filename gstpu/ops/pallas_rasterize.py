@@ -229,13 +229,16 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         (b, trans, done, cacc, dacc, last) = carry
         even = b % 2 == 0
 
+        # the wait descriptor must match the start descriptor exactly
+        # (same astart base) — the semaphore decrement is shape-derived, but
+        # the address is still a pl.multiple_of hint to Mosaic and must hold
         @pl.when(even)
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, start, b, 0).wait()
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, b, 0).wait()
 
         @pl.when(jnp.logical_not(even))
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, start, b, 1).wait()
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, b, 1).wait()
 
         feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
         for u in range(BLOCK_CHUNKS):
@@ -481,13 +484,14 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         (b, trans, done, prefix_u) = carry
         even = b % 2 == 0
 
+        # wait descriptors mirror the starts' astart base (see fwd kernel)
         @pl.when(even)
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem_in, start, b, 0).wait()
+            _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b, 0).wait()
 
         @pl.when(jnp.logical_not(even))
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem_in, start, b, 1).wait()
+            _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b, 1).wait()
 
         feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
         all_rows = []

@@ -66,18 +66,22 @@ class Trainer:
         # NeRF-synthetic (transforms_*.json, the reference's only format) or
         # a COLMAP capture (sparse/0 model + images/, beyond-reference)
         from gstpu.data.colmap import ColmapDataset, is_colmap_dataset
-        ds_cls = ColmapDataset if is_colmap_dataset(dataset_path) \
-            else NerfSyntheticDataset
-        d = self.config.downscale
-        self.train_data = ds_cls(dataset_path, "train", downscale=d)
+        ds_kwargs: Dict[str, Any] = {"downscale": self.config.downscale}
+        if is_colmap_dataset(dataset_path):
+            ds_cls = ColmapDataset
+            # official 3DGS --eval protocol; 0 trains on every image
+            ds_kwargs["holdout"] = self.config.eval_holdout
+        else:
+            ds_cls = NerfSyntheticDataset
+        self.train_data = ds_cls(dataset_path, "train", **ds_kwargs)
         try:
-            self.val_data = ds_cls(dataset_path, "val", downscale=d)
+            self.val_data = ds_cls(dataset_path, "val", **ds_kwargs)
         except FileNotFoundError:
             self.val_data = None
         try:
             # the reference loads the test split but never evaluates it
             # (train.py:149; SURVEY §5) — we evaluate it after training
-            self.test_data = ds_cls(dataset_path, "test", downscale=d)
+            self.test_data = ds_cls(dataset_path, "test", **ds_kwargs)
         except FileNotFoundError:
             self.test_data = None
 
@@ -126,6 +130,12 @@ class Trainer:
         self._eval_pair_capacity = self._pair_capacity
         self._eval_kept_capacity = self._kept_capacity
         self._metrics_file = open(self.output_path / "metrics.jsonl", "a")
+        if "holdout" in ds_kwargs:
+            self._log({"event": "colmap_split",
+                       "holdout": ds_kwargs["holdout"],
+                       "train_views": len(self.train_data),
+                       "test_views": len(self.test_data)
+                       if self.test_data is not None else 0})
         if sfm is not None:
             self._log({"event": "sfm_init", "n_points": n_init})
         self._densify_jit = jax.jit(densify_mod.densify_and_prune,

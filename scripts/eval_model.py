@@ -61,16 +61,36 @@ def main():
 
     use_pallas = not args.no_pallas and jax.default_backend() == "tpu"
     cam0 = ds.camera(0)
-    settings = RenderSettings(width=ds.width, height=ds.height,
-                              pair_capacity=1 << 20, use_pallas=use_pallas,
-                              tight_radius=True)
     bg = jnp.full((3,), 1.0 if args.white_background else 0.0, jnp.float32)
 
-    @jax.jit
-    def fn(view, proj, campos):
-        img, _, _ = render(settings, cam0["tan_fovx"], cam0["tan_fovy"], 1.0,
-                           *arrs, view, proj, campos, bg, None, jnp.int32(0))
-        return jnp.clip(img, 0.0, 1.0)
+    def make_fn(pair_capacity: int):
+        settings = RenderSettings(width=ds.width, height=ds.height,
+                                  pair_capacity=pair_capacity,
+                                  use_pallas=use_pallas, tight_radius=True)
+
+        @jax.jit
+        def fn(view, proj, campos):
+            img, _, aux = render(settings, cam0["tan_fovx"],
+                                 cam0["tan_fovy"], 1.0, *arrs, view, proj,
+                                 campos, bg, None, jnp.int32(0))
+            return jnp.clip(img, 0.0, 1.0), aux.num_pairs
+        return fn
+
+    # pair-list overflow would silently drop tiles and report metrics of a
+    # partially rendered image — check the reported pair count per view and
+    # regrow (recompile) until every view fits (same contract as
+    # Trainer._render_full)
+    pair_capacity = 1 << 20
+    fn = make_fn(pair_capacity)
+
+    def render_checked(view, proj, campos):
+        nonlocal fn, pair_capacity
+        img, num_pairs = fn(view, proj, campos)
+        while int(num_pairs) > pair_capacity:
+            pair_capacity = -(-int(num_pairs) * 3 // 2 // 32768) * 32768
+            fn = make_fn(pair_capacity)
+            img, num_pairs = fn(view, proj, campos)
+        return img
 
     if args.save_renders:
         import os
@@ -82,8 +102,9 @@ def main():
     psnrs, ssims = [], []
     for i in range(n_views):
         cam = ds.camera(i)
-        img = fn(j(cam["world_to_camera"]), j(cam["full_proj_matrix"]),
-                 j(cam["camera_center"]))
+        img = render_checked(j(cam["world_to_camera"]),
+                             j(cam["full_proj_matrix"]),
+                             j(cam["camera_center"]))
         target = j(ds.image(i))
         psnrs.append(float(psnr(img, target)))
         ssims.append(float(ssim(img, target, clamp_sigma=True)))

@@ -126,7 +126,7 @@ def main():
         finite("prep.conic", prep.conic)
         finite("prep.rgb", prep.rgb)
         finite("prep.cov3d", prep.cov3d)
-        finite("feat", layout[3])
+        finite("feat", layout)  # prepare_layout returns the (16, K+BLOCK) feat
         finite("color", color)
 
         @jax.jit

@@ -77,7 +77,10 @@ def _write_model(root, binary=True):
             for img_id, q, t, name in poses:
                 f.write(f"{img_id} {q[0]} {q[1]} {q[2]} {q[3]} "
                         f"{t[0]} {t[1]} {t[2]} 1 {name}\n")
-                f.write("1.0 2.0 -1\n")
+                # COLMAP writes an EMPTY 2D-points line for images without
+                # triangulated tracks — the parser must not lose the
+                # two-line pairing (every 3rd image here exercises that)
+                f.write("\n" if img_id % 3 == 0 else "1.0 2.0 -1\n")
         with open(sparse / "points3D.txt", "w") as f:
             f.write("# points\n")
             for p in range(N_POINTS):
@@ -134,6 +137,58 @@ def test_colmap_text_matches_binary(tmp_path):
         == N_IMAGES
     assert read_points3d_text(
         os.path.join(sparse, "points3D.txt"))[0].shape == (N_POINTS, 3)
+
+
+def test_colmap_mixed_focals_rejected(tmp_path):
+    """Views with differing intrinsics must fail loudly: the trainer applies
+    one global tan_fov, so rendering them would be silently wrong geometry."""
+    _write_model(tmp_path, binary=True)
+    sparse = tmp_path / "sparse" / "0"
+    with open(sparse / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<iiQQ", 1, 1, W, H))
+        f.write(struct.pack("<4d", FX, FY, W / 2, H / 2))
+        f.write(struct.pack("<iiQQ", 2, 1, W, H))        # same size,
+        f.write(struct.pack("<4d", FX * 2, FY, W / 2, H / 2))  # other focal
+    with open(sparse / "images.bin", "rb") as f:
+        raw = bytearray(f.read())
+    # repoint image 2's camera_id (after id + 7 doubles + name) to camera 2
+    off = 8 + 4 + 56
+    off += 4 + len(b"r_00.png") + 1 + 8 + 2 * 24   # past image 1's record
+    off += 4 + 56                                   # into image 2's cam_id
+    assert struct.unpack_from("<i", raw, off)[0] == 1
+    struct.pack_into("<i", raw, off, 2)
+    with open(sparse / "images.bin", "wb") as f:
+        f.write(raw)
+    with pytest.raises(ValueError, match="mixed focal"):
+        ColmapDataset(str(tmp_path), "train")
+
+
+def test_colmap_fisheye_models_parse(tmp_path):
+    """Camera models 7-10 (FOV / fisheye family) parse: per-model param
+    counts drive the binary stream layout, so an unknown id is fatal."""
+    from gstpu.data.colmap import read_cameras_binary
+
+    sparse = tmp_path / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    with open(sparse / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<iiQQ", 1, 8, W, H))  # SIMPLE_RADIAL_FISHEYE
+        f.write(struct.pack("<4d", FX, W / 2, H / 2, 0.01))
+        f.write(struct.pack("<iiQQ", 2, 7, W, H))  # FOV
+        f.write(struct.pack("<5d", FX, FY, W / 2, H / 2, 0.9))
+    cams = read_cameras_binary(str(sparse / "cameras.bin"))
+    assert cams[1]["model"] == "SIMPLE_RADIAL_FISHEYE"
+    assert cams[1]["params"][0] == FX
+    assert cams[2]["model"] == "FOV" and cams[2]["params"][1] == FY
+
+
+def test_colmap_holdout_zero_trains_on_all(tmp_path):
+    _write_model(tmp_path, binary=True)
+    all_train = ColmapDataset(str(tmp_path), "train", holdout=0)
+    assert len(all_train) == N_IMAGES
+    with pytest.raises(FileNotFoundError):
+        ColmapDataset(str(tmp_path), "test", holdout=0)
 
 
 def test_qvec_roundtrip():

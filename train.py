@@ -53,6 +53,10 @@ def main():
                         help="sample split children from the parent "
                              "Gaussian (official 3DGS) instead of the "
                              "reference's +-0.01 uniform jitter")
+    parser.add_argument("--eval-holdout", type=int, default=None,
+                        help="COLMAP captures: hold out every N-th image as "
+                             "the test split (official 3DGS --eval protocol; "
+                             "default 8, 0 trains on all images)")
     parser.add_argument("--random-init", action="store_true",
                         help="ignore a COLMAP dataset's SfM point cloud and "
                              "initialize at random (the reference's Q8 "
@@ -83,6 +87,8 @@ def main():
         config = config.replace(downscale=args.resolution)
     if args.official_split:
         config = config.replace(official_split_sampling=True)
+    if args.eval_holdout is not None:
+        config = config.replace(eval_holdout=args.eval_holdout)
 
     mesh = None
     if args.n_model:
