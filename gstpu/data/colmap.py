@@ -266,20 +266,13 @@ class ColmapDataset:
                 fx=cam["params"][fxi] / d, fy=cam["params"][fyi] / d))
             self.image_paths.append(os.path.join(img_dir, entry["name"]))
             sizes.add((cam["width"] // d, cam["height"] // d))
-            focals.add((round(float(cam["params"][fxi]), 4),
-                        round(float(cam["params"][fyi]), 4)))
         if len(sizes) > 1:
             raise ValueError(
                 f"mixed image sizes in COLMAP model: {sorted(sizes)} — "
                 "the trainer renders at one fixed resolution")
-        if len(focals) > 1:
-            # the Trainer/evaluator apply ONE global tan_fov to every view
-            # (trainer.py reads camera(0)); rendering other-focal views with
-            # it would be silently wrong geometry, not a soft degradation
-            raise ValueError(
-                f"mixed focal lengths in COLMAP model: {sorted(focals)} — "
-                "per-view intrinsics are not supported; re-run COLMAP with "
-                "a shared camera (--ImageReader.single_camera 1)")
+        # mixed focal lengths are fine: each camera record carries its own
+        # tan_fov, and the render pipeline takes intrinsics as traced
+        # per-view operands (multi-camera rigs share one compiled step)
         self._cache: Dict[int, np.ndarray] = {}
         self._cache_enabled = cache_images
 

@@ -337,8 +337,8 @@ def image_to_tiles(img: jnp.ndarray, settings: RenderSettings) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def render(settings: RenderSettings, tan_fovx: float, tan_fovy: float,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+def render(settings: RenderSettings, tan_fovx, tan_fovy,
            scale_modifier: float, means, scales, rotations, opacities, shs,
            view, proj, campos, bg, alive, row0):
     """Differentiable render: returns (image (H,W,3), depth (H,W), aux).
@@ -434,14 +434,14 @@ def _render_fwd(settings, tan_fovx, tan_fovy, scale_modifier,
                     final_t=final_t, n_contrib=n_contrib, xy=prep.xy,
                     num_kept=pairs.num_kept)
     residuals = (prep, pairs, layout, color, dacc, final_t, means, scales,
-                 rotations, shs, view, proj, campos, bg, alive, row0)
+                 rotations, shs, view, proj, campos, bg, alive, row0,
+                 tan_fovx, tan_fovy)
     return (image, depth, aux), residuals
 
 
-def _render_bwd(settings, tan_fovx, tan_fovy, scale_modifier,
-                residuals, cotangents):
+def _render_bwd(settings, scale_modifier, residuals, cotangents):
     (prep, pairs, layout, color, dacc, final_t, means, scales, rotations, shs,
-     view, proj, campos, bg, alive, row0) = residuals
+     view, proj, campos, bg, alive, row0, tan_fovx, tan_fovy) = residuals
     ct_image, ct_depth, _ = cotangents
 
     dl_dpix = image_to_tiles(ct_image, settings)
@@ -537,7 +537,17 @@ def _render_bwd(settings, tan_fovx, tan_fovy, scale_modifier,
     # `alive` (bool mask or None) and `row0` (int32) carry float0 cotangents.
     d_alive, d_row0 = jax.tree_util.tree_map(
         lambda x: np.zeros(jnp.shape(x), jax.dtypes.float0), (alive, row0))
-    return (dmean, dscale, drot, d_opac, dsh) + zeros_like + (d_alive, d_row0)
+    # intrinsics are inputs, not parameters: zero cotangents (asarray
+    # without a dtype keeps a Python-float primal's weak type)
+    d_tanx = jnp.zeros_like(jnp.asarray(tan_fovx))
+    d_tany = jnp.zeros_like(jnp.asarray(tan_fovy))
+    return (d_tanx, d_tany, dmean, dscale, drot, d_opac, dsh) \
+        + zeros_like + (d_alive, d_row0)
 
 
+# custom_vjp calls the FWD rule with the args in their ORIGINAL positions
+# (nondiff args interleaved) -- _render_fwd's own signature -- but the BWD
+# rule with the nondiff args (0: settings, 3: scale_modifier) hoisted to the
+# front in index order, hence _render_bwd's (settings, scale_modifier, ...)
+# signature; tan_fovx/tan_fovy reach it through the residuals.
 render.defvjp(_render_fwd, _render_bwd)

@@ -119,18 +119,20 @@ def _halo_exchange(chunks: jnp.ndarray, n_model: int, halo: int):
 
 
 def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
-                            mesh: Mesh, tan_fovx: float, tan_fovy: float):
+                            mesh: Mesh):
     """Multi-device train step.
 
     Returns fn(params_shard, adam_shard, alive_shard, views (B,4,4),
-    projs (B,4,4), camposes (B,3), targets (B,H',W,3), iteration[,
-    target_depths (B,H',W), depth_masks (B,H',W) — iff
-    config.lambda_depth > 0]) -> (new_params_shard, new_adam_shard, loss,
-    pos_grads_shard, num_pairs_max, iteration+1)
+    projs (B,4,4), camposes (B,3), tan_fovxs (B,), tan_fovys (B,),
+    targets (B,H',W,3), iteration[, target_depths (B,H',W),
+    depth_masks (B,H',W) — iff config.lambda_depth > 0]) ->
+    (new_params_shard, new_adam_shard, loss, pos_grads_shard,
+    num_pairs_max, iteration+1)
 
     ``B`` must equal the data-axis size; targets (and depth targets/masks)
     must be padded to H' = n_model * band_rows * 16
-    (``pad_targets_to_grid(..., n_model)``).
+    (``pad_targets_to_grid(..., n_model)``).  Intrinsics ride per camera
+    like the poses (multi-camera COLMAP rigs have per-view focals).
     """
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
@@ -142,7 +144,7 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
     lambda_depth = float(config.lambda_depth)
 
     in_specs = [P("model"), P("model"), P("model"), P("data"), P("data"),
-                P("data"), P("data", "model"), P()]
+                P("data"), P("data"), P("data"), P("data", "model"), P()]
     if lambda_depth > 0.0:
         in_specs += [P("data", "model"), P("data", "model")]
 
@@ -151,11 +153,14 @@ def make_sharded_train_step(settings: RenderSettings, config: GSConfig,
         out_specs=(P("model"), P("model"), P(), P("model"), P(), P()),
         check_vma=False)
     def _step(p_shard, adam_shard, alive_shard, view, proj, campos,
-              target_band, iteration, tdepth_band=None, dmask_band=None):
+              tanfx, tanfy, target_band, iteration,
+              tdepth_band=None, dmask_band=None):
         row0 = jax.lax.axis_index("model")      # round-robin: rows d + k*n
         view = view[0]
         proj = proj[0]
         campos = campos[0]
+        tan_fovx = tanfx[0]
+        tan_fovy = tanfy[0]
         target_band = target_band[0]                      # (band_h, W, 3)
         if tdepth_band is not None:
             tdepth_band = tdepth_band[0]                  # (band_h, W)

@@ -169,6 +169,12 @@ class Trainer:
             [c["full_proj_matrix"] for c in cams]).astype(np.float32))
         self._camposes = jax.device_put(np.stack(
             [c["camera_center"] for c in cams]).astype(np.float32))
+        # per-camera intrinsics (multi-camera COLMAP rigs): tan_fov rides as
+        # a traced render operand, so mixed focals share one compiled step
+        self._tanfx = jax.device_put(np.asarray(
+            [c["tan_fovx"] for c in cams], np.float32))
+        self._tanfy = jax.device_put(np.asarray(
+            [c["tan_fovy"] for c in cams], np.float32))
 
     # ------------------------------------------------------------------
     def _shard_model(self, model: GaussianModel) -> GaussianModel:
@@ -222,14 +228,16 @@ class Trainer:
     def _sharded_step(self, settings: RenderSettings):
         from gstpu.parallel.sharded import make_sharded_train_step
         return jax.jit(make_sharded_train_step(
-            settings, self.config, self.mesh, self.tan_fovx, self.tan_fovy))
+            settings, self.config, self.mesh))
 
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
     def _train_step(self, settings: RenderSettings, model: GaussianModel,
-                    adam: AdamState, view, proj, campos, target, iteration,
-                    target_depth=None, depth_mask=None):
-        """One jitted step: fwd render, loss, hand-written bwd, fused Adam."""
+                    adam: AdamState, view, proj, campos, tan_fovx, tan_fovy,
+                    target, iteration, target_depth=None, depth_mask=None):
+        """One jitted step: fwd render, loss, hand-written bwd, fused Adam.
+        ``tan_fovx``/``tan_fovy`` are traced per-camera scalars (multi-camera
+        rigs have per-view focals; one compiled step covers them all)."""
         cfg = self.config
         bg = jnp.asarray(cfg.background_color, jnp.float32)
         params = model.param_dict()
@@ -238,7 +246,7 @@ class Trainer:
             from gstpu.models.gaussians import activate_params
             p = activate_params(p, cfg.parameterization)
             image, depth, aux = render(
-                settings, self.tan_fovx, self.tan_fovy, cfg.scale_modifier,
+                settings, tan_fovx, tan_fovy, cfg.scale_modifier,
                 p["positions"], p["scales"], p["rotations"], p["opacities"],
                 p["shs"], view, proj, campos, bg, model.alive, jnp.int32(0))
             loss = combined_loss(image, target, cfg.lambda_dssim)
@@ -262,25 +270,28 @@ class Trainer:
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _render_eval(self, settings: RenderSettings, model: GaussianModel,
-                     view, proj, campos):
+                     view, proj, campos, tan_fovx=None, tan_fovy=None):
         image, depth, _ = self._render_eval_aux(settings, model, view, proj,
-                                                campos)
+                                                campos, tan_fovx, tan_fovy)
         return image, depth
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _render_eval_aux(self, settings: RenderSettings, model: GaussianModel,
-                         view, proj, campos):
+                         view, proj, campos, tan_fovx=None, tan_fovy=None):
         from gstpu.models.gaussians import activate_params
         bg = jnp.asarray(self.config.background_color, jnp.float32)
         p = activate_params(model.param_dict(), self.config.parameterization)
         image, depth, aux = render(
-            settings, self.tan_fovx, self.tan_fovy,
+            settings,
+            self.tan_fovx if tan_fovx is None else tan_fovx,
+            self.tan_fovy if tan_fovy is None else tan_fovy,
             self.config.scale_modifier, p["positions"], p["scales"],
             p["rotations"], p["opacities"], p["shs"], view, proj, campos, bg,
             model.alive, jnp.int32(0))
         return image, depth, aux
 
-    def _render_full(self, model: GaussianModel, view, proj, campos):
+    def _render_full(self, model: GaussianModel, view, proj, campos,
+                     tan_fovx=None, tan_fovy=None):
         """Full-frame single-device render with overflow regrow.
 
         Training capacities track the per-band need under a mesh and the
@@ -301,8 +312,9 @@ class Trainer:
                 self._settings(), pair_capacity=pair_cap,
                 kept_capacity=min(
                     self._round_capacity(self._eval_kept_capacity), pair_cap))
-            image, depth, aux = self._render_eval_aux(settings, model,
-                                                      view, proj, campos)
+            image, depth, aux = self._render_eval_aux(settings, model, view,
+                                                      proj, campos,
+                                                      tan_fovx, tan_fovy)
             num_pairs = int(aux.num_pairs)
             num_kept = int(aux.num_kept)
             if (num_pairs <= settings.pair_capacity
@@ -508,7 +520,8 @@ class Trainer:
                     self._sharded_step(settings)(
                         self.model.param_dict(), self.adam, self.model.alive,
                         self._views[idxs], self._projs[idxs],
-                        self._camposes[idxs], targets, it_dev, *extra)
+                        self._camposes[idxs], self._tanfx[idxs],
+                        self._tanfy[idxs], targets, it_dev, *extra)
                 self.model = self.model.replace(**params)
             else:
                 cam_idx = int(rng.integers(0, len(self.train_data)))
@@ -524,7 +537,8 @@ class Trainer:
                  it_dev) = self._train_step(
                     settings, self.model, self.adam,
                     self._views[cam_idx], self._projs[cam_idx],
-                    self._camposes[cam_idx], target, it_dev,
+                    self._camposes[cam_idx], self._tanfx[cam_idx],
+                    self._tanfy[cam_idx], target, it_dev,
                     target_depth=td, depth_mask=dm)
             pending.append((it, loss, num_pairs))
 
@@ -583,7 +597,8 @@ class Trainer:
             img, _, _ = self._render_full(
                 model, jnp.asarray(cam["world_to_camera"]),
                 jnp.asarray(cam["full_proj_matrix"]),
-                jnp.asarray(cam["camera_center"]))
+                jnp.asarray(cam["camera_center"]),
+                cam["tan_fovx"], cam["tan_fovy"])
             target = jnp.asarray(data.image(idx))
             vals.append(float(psnr(img, target)))
             ssims.append(float(ssim(jnp.clip(img, 0.0, 1.0), target,
@@ -632,7 +647,8 @@ class Trainer:
         img, _, aux = self._render_full(
             model, jnp.asarray(cam["world_to_camera"]),
             jnp.asarray(cam["full_proj_matrix"]),
-            jnp.asarray(cam["camera_center"]))
+            jnp.asarray(cam["camera_center"]),
+            cam["tan_fovx"], cam["tan_fovy"])
         arr = np.clip(np.asarray(img), 0.0, 1.0)
         imageio.imwrite(self.output_path / f"render_{iteration:06d}.png",
                         (arr * 255).astype(np.uint8))

@@ -60,7 +60,6 @@ def main():
             j(opac), j(params["shs"].reshape(n, 16, 3)))
 
     use_pallas = not args.no_pallas and jax.default_backend() == "tpu"
-    cam0 = ds.camera(0)
     bg = jnp.full((3,), 1.0 if args.white_background else 0.0, jnp.float32)
 
     def make_fn(pair_capacity: int):
@@ -69,10 +68,9 @@ def main():
                                   use_pallas=use_pallas, tight_radius=True)
 
         @jax.jit
-        def fn(view, proj, campos):
-            img, _, aux = render(settings, cam0["tan_fovx"],
-                                 cam0["tan_fovy"], 1.0, *arrs, view, proj,
-                                 campos, bg, None, jnp.int32(0))
+        def fn(view, proj, campos, tan_fovx, tan_fovy):
+            img, _, aux = render(settings, tan_fovx, tan_fovy, 1.0, *arrs,
+                                 view, proj, campos, bg, None, jnp.int32(0))
             return jnp.clip(img, 0.0, 1.0), aux.num_pairs
         return fn
 
@@ -83,13 +81,13 @@ def main():
     pair_capacity = 1 << 20
     fn = make_fn(pair_capacity)
 
-    def render_checked(view, proj, campos):
+    def render_checked(view, proj, campos, tan_fovx, tan_fovy):
         nonlocal fn, pair_capacity
-        img, num_pairs = fn(view, proj, campos)
+        img, num_pairs = fn(view, proj, campos, tan_fovx, tan_fovy)
         while int(num_pairs) > pair_capacity:
             pair_capacity = -(-int(num_pairs) * 3 // 2 // 32768) * 32768
             fn = make_fn(pair_capacity)
-            img, num_pairs = fn(view, proj, campos)
+            img, num_pairs = fn(view, proj, campos, tan_fovx, tan_fovy)
         return img
 
     if args.save_renders:
@@ -104,7 +102,8 @@ def main():
         cam = ds.camera(i)
         img = render_checked(j(cam["world_to_camera"]),
                              j(cam["full_proj_matrix"]),
-                             j(cam["camera_center"]))
+                             j(cam["camera_center"]),
+                             cam["tan_fovx"], cam["tan_fovy"])
         target = j(ds.image(i))
         psnrs.append(float(psnr(img, target)))
         ssims.append(float(ssim(img, target, clamp_sigma=True)))

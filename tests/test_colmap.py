@@ -139,9 +139,10 @@ def test_colmap_text_matches_binary(tmp_path):
         os.path.join(sparse, "points3D.txt"))[0].shape == (N_POINTS, 3)
 
 
-def test_colmap_mixed_focals_rejected(tmp_path):
-    """Views with differing intrinsics must fail loudly: the trainer applies
-    one global tan_fov, so rendering them would be silently wrong geometry."""
+def test_colmap_mixed_focals_per_view_intrinsics(tmp_path):
+    """Multi-camera rigs: views with differing focals load with per-view
+    tan_fov records (intrinsics ride as traced render operands, so the
+    trainer supports them with one compiled step)."""
     _write_model(tmp_path, binary=True)
     sparse = tmp_path / "sparse" / "0"
     with open(sparse / "cameras.bin", "wb") as f:
@@ -160,8 +161,11 @@ def test_colmap_mixed_focals_rejected(tmp_path):
     struct.pack_into("<i", raw, off, 2)
     with open(sparse / "images.bin", "wb") as f:
         f.write(raw)
-    with pytest.raises(ValueError, match="mixed focal"):
-        ColmapDataset(str(tmp_path), "train")
+    ds = ColmapDataset(str(tmp_path), "train", holdout=0)
+    # image r_01 (sorted position 1) uses camera 2 (fx doubled)
+    assert ds.camera(1)["tan_fovx"] == pytest.approx(W / (2 * FX * 2))
+    assert ds.camera(0)["tan_fovx"] == pytest.approx(W / (2 * FX))
+    assert ds.camera(1)["tan_fovy"] == ds.camera(0)["tan_fovy"]
 
 
 def test_colmap_fisheye_models_parse(tmp_path):

@@ -171,3 +171,57 @@ def test_tight_radius_is_exact():
     for gb, gt in zip(grads_b, grads_t):
         scale = max(np.max(np.abs(gb)), 1e-8)
         np.testing.assert_allclose(gt / scale, gb / scale, atol=1e-6)
+
+
+def test_traced_tan_fov_matches_static():
+    """Per-view intrinsics: tan_fov passed as TRACED scalars (one compiled
+    step for a multi-camera rig) renders and differentiates identically to
+    the Python-float (trace-constant) path."""
+    import jax
+    import jax.numpy as jnp
+
+    from gstpu.config import RenderSettings
+    from gstpu.ops.rasterize import render
+
+    rng = np.random.default_rng(11)
+    cam = scenes.example_camera(width=64, height=64)
+    pts, shs, scales, rotations, opacities = scenes.random_scene(
+        rng, n=40, extent=1.3, z_center=-8.0)
+    s = RenderSettings(width=64, height=64, pair_capacity=1 << 12)
+    j = jnp.asarray
+    rest = (j(cam["view"]), j(cam["proj"]), j(cam["campos"]),
+            jnp.zeros(3, jnp.float32), None, jnp.int32(0))
+    args = (j(pts), j(scales), j(rotations), j(opacities), j(shs))
+
+    def loss_static(*p):
+        img, _, _ = render(s, cam["tan_fovx"], cam["tan_fovy"], 1.0,
+                           *p, *rest)
+        return jnp.sum(img * img), img
+
+    @jax.jit
+    def loss_traced(tx, ty, *p):
+        img, _, _ = render(s, tx, ty, 1.0, *p, *rest)
+        return jnp.sum(img * img), img
+
+    (ls, img_s), gs = jax.value_and_grad(loss_static, argnums=(0, 1, 2),
+                                         has_aux=True)(*args)
+    (lt, img_t), gt = jax.value_and_grad(loss_traced, argnums=(2, 3, 4),
+                                         has_aux=True)(
+        jnp.float32(cam["tan_fovx"]), jnp.float32(cam["tan_fovy"]), *args)
+    # static Python-float tan is constant-folded in double (1.3*tan rounds
+    # once); the traced path rounds tan to f32 first -> ulp-level slack
+    assert float(ls) == pytest.approx(float(lt), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_t),
+                               atol=1e-6)
+    for a, b in zip(gs, gt):
+        scale = max(float(np.max(np.abs(np.asarray(a)))), 1e-8)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-6)
+
+    # a second focal through the SAME jitted fn (no recompile contract is
+    # behavioral: different value, still correct output)
+    (_, img2), _ = jax.value_and_grad(loss_traced, argnums=(2,),
+                                      has_aux=True)(
+        jnp.float32(cam["tan_fovx"] * 1.5), jnp.float32(cam["tan_fovy"]),
+        *args)
+    assert not np.array_equal(np.asarray(img2), np.asarray(img_t))

@@ -89,8 +89,9 @@ def test_sharded_train_step_matches_single_device_grads():
     ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
 
     mesh = make_mesh(n_data=2, n_model=4)
-    step = make_sharded_train_step(settings, cfg, mesh,
-                                   cam["tan_fovx"], cam["tan_fovy"])
+    step = make_sharded_train_step(settings, cfg, mesh)
+    tans = (jnp.full((2,), cam["tan_fovx"], jnp.float32),
+            jnp.full((2,), cam["tan_fovy"], jnp.float32))
     adam = init_adam_state(params)
     views = jnp.tile(j(cam["view"])[None], (2, 1, 1))
     projs = jnp.tile(j(cam["proj"])[None], (2, 1, 1))
@@ -98,7 +99,8 @@ def test_sharded_train_step_matches_single_device_grads():
     targets = pad_targets_to_grid(jnp.tile(j(target)[None], (2, 1, 1, 1)),
                                   settings, n_model=4)
     new_p, new_adam, loss, pos_grads, num_pairs, _it = step(
-        params, adam, alive, views, projs, camposes, targets, jnp.int32(0))
+        params, adam, alive, views, projs, camposes, *tans, targets,
+        jnp.int32(0))
 
     # identical cameras on both data groups -> loss == single-device L1
     assert abs(float(loss) - float(ref_loss)) < 1e-6
@@ -144,8 +146,9 @@ def test_sharded_train_step_dssim_matches_single_device():
     ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
 
     mesh = make_mesh(n_data=2, n_model=4)
-    step = make_sharded_train_step(settings, cfg, mesh,
-                                   cam["tan_fovx"], cam["tan_fovy"])
+    step = make_sharded_train_step(settings, cfg, mesh)
+    tans = (jnp.full((2,), cam["tan_fovx"], jnp.float32),
+            jnp.full((2,), cam["tan_fovy"], jnp.float32))
     adam = init_adam_state(params)
     views = jnp.tile(j(cam["view"])[None], (2, 1, 1))
     projs = jnp.tile(j(cam["proj"])[None], (2, 1, 1))
@@ -153,7 +156,8 @@ def test_sharded_train_step_dssim_matches_single_device():
     targets = pad_targets_to_grid(jnp.tile(j(target)[None], (2, 1, 1, 1)),
                                   settings, n_model=4)
     _, _, loss, pos_grads, _, _ = step(
-        params, adam, alive, views, projs, camposes, targets, jnp.int32(0))
+        params, adam, alive, views, projs, camposes, *tans, targets,
+        jnp.int32(0))
     assert abs(float(loss) - float(ref_loss)) < 1e-5
     scale = max(float(jnp.max(jnp.abs(ref_grads["positions"]))), 1e-8)
     np.testing.assert_allclose(np.asarray(pos_grads) / scale,
@@ -189,8 +193,9 @@ def test_sharded_train_step_depth_matches_single_device():
     ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
 
     mesh = make_mesh(n_data=2, n_model=4)
-    step = make_sharded_train_step(settings, cfg, mesh,
-                                   cam["tan_fovx"], cam["tan_fovy"])
+    step = make_sharded_train_step(settings, cfg, mesh)
+    tans = (jnp.full((2,), cam["tan_fovx"], jnp.float32),
+            jnp.full((2,), cam["tan_fovy"], jnp.float32))
     adam = init_adam_state(params)
     views = jnp.tile(j(cam["view"])[None], (2, 1, 1))
     projs = jnp.tile(j(cam["proj"])[None], (2, 1, 1))
@@ -202,8 +207,8 @@ def test_sharded_train_step_depth_matches_single_device():
     dmasks = pad_targets_to_grid(jnp.tile(j(dmask)[None], (2, 1, 1)),
                                  settings, n_model=4)
     _, _, loss, pos_grads, _, _ = step(
-        params, adam, alive, views, projs, camposes, targets, jnp.int32(0),
-        tdepths, dmasks)
+        params, adam, alive, views, projs, camposes, *tans, targets,
+        jnp.int32(0), tdepths, dmasks)
     assert abs(float(loss) - float(ref_loss)) < 1e-5
     scale = max(float(jnp.max(jnp.abs(ref_grads["positions"]))), 1e-8)
     np.testing.assert_allclose(np.asarray(pos_grads) / scale,
@@ -232,16 +237,17 @@ def test_sharded_two_distinct_cameras_average():
     want = (float(loss_for(t1)) + float(loss_for(t2))) / 2
 
     mesh = make_mesh(n_data=2, n_model=4)
-    step = make_sharded_train_step(settings, cfg, mesh,
-                                   cam["tan_fovx"], cam["tan_fovy"])
+    step = make_sharded_train_step(settings, cfg, mesh)
+    tans = (jnp.full((2,), cam["tan_fovx"], jnp.float32),
+            jnp.full((2,), cam["tan_fovy"], jnp.float32))
     adam = init_adam_state(params)
     views = jnp.tile(j(cam["view"])[None], (2, 1, 1))
     projs = jnp.tile(j(cam["proj"])[None], (2, 1, 1))
     camposes = jnp.tile(j(cam["campos"])[None], (2, 1))
     targets = pad_targets_to_grid(
         jnp.stack([j(t1), j(t2)]), settings, n_model=4)
-    _, _, loss, _, _, _ = step(params, adam, alive, views, projs, camposes,
-                            targets, jnp.int32(0))
+    _, _, loss, _, _, _ = step(params, adam, alive, views, projs,
+                               camposes, *tans, targets, jnp.int32(0))
     assert abs(float(loss) - want) < 1e-6
 
 
