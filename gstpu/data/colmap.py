@@ -253,7 +253,6 @@ class ColmapDataset:
 
         self.cameras, self.image_paths = [], []
         sizes = set()
-        focals = set()
         d = self.downscale
         for entry in keep:
             cam = cams[entry["camera_id"]]

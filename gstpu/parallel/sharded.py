@@ -60,27 +60,34 @@ def make_sharded_render(settings: RenderSettings, mesh: Mesh,
                         tan_fovx: float, tan_fovy: float,
                         scale_modifier: float = 1.0):
     """Multi-device render: returns fn(params_shard, alive_shard, view, proj,
-    campos, bg) -> full (H, W, 3) image (replicated)."""
+    campos, bg[, tan_fovx, tan_fovy]) -> full (H, W, 3) image (replicated).
+
+    The factory's tan pair is the default; per-call tans override it as
+    traced operands (per-view intrinsics, same contract as the train step —
+    no shard_map rebuild or recompile per focal)."""
     n_model = mesh.shape["model"]
     bset = band_settings(settings, n_model)
     band_rows = bset.band_rows
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P("model"), P("model"), P(), P(), P(), P()),
+        in_specs=(P("model"), P("model"), P(), P(), P(), P(), P(), P()),
         out_specs=P("model"), check_vma=False)
-    def _render(p_shard, alive_shard, view, proj, campos, bg):
+    def _render(p_shard, alive_shard, view, proj, campos, bg, tfx, tfy):
         row0 = jax.lax.axis_index("model")      # round-robin: rows d + k*n
         p = _gather_params(p_shard)
         alive = jax.lax.all_gather(alive_shard, "model", axis=0, tiled=True)
         image_band, _, _ = render(
-            bset, tan_fovx, tan_fovy, scale_modifier,
+            bset, tfx, tfy, scale_modifier,
             p["positions"], p["scales"], p["rotations"], p["opacities"],
             p["shs"], view, proj, campos, bg, alive, row0)
         return image_band  # bands concatenate over rows (out_specs axis 0)
 
-    def run(params_shard, alive_shard, view, proj, campos, bg):
-        img = _render(params_shard, alive_shard, view, proj, campos, bg)
+    def run(params_shard, alive_shard, view, proj, campos, bg,
+            tfx=None, tfy=None):
+        img = _render(params_shard, alive_shard, view, proj, campos, bg,
+                      jnp.float32(tan_fovx if tfx is None else tfx),
+                      jnp.float32(tan_fovy if tfy is None else tfy))
         # device d's band holds tile rows [d::n_model]: interleave them back
         w3 = img.shape[1:]
         img = img.reshape((n_model, band_rows, TILE_Y) + w3)

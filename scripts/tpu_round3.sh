@@ -69,8 +69,9 @@ done
 # 6. trainer-vs-bench throughput check (VERDICT r2 item 3 "done" criterion):
 #    median trained step_ms from the 7k run's metrics.jsonl beside bench.py's
 #    per-frame number, with the pair counts that contextualize them
-stage step_vs_bench 120 python - <<'PY'
-import json, statistics
+stage step_vs_bench 120 python - "$LOGDIR" <<'PY'
+import json, statistics, sys
+logdir = sys.argv[1]
 steps, pairs = [], []
 for line in open("/tmp/lego_official_7k/metrics.jsonl"):
     r = json.loads(line)
@@ -78,13 +79,15 @@ for line in open("/tmp/lego_official_7k/metrics.jsonl"):
         steps.append((r["iteration"], r["step_ms"]))
     if r.get("event") in ("pair_capacity_grow", "pair_capacity_shrink"):
         pairs.append((r["iteration"], r["capacity"]))
-tail = [ms for it, ms in steps if it >= steps[-1][0] // 2] or \
-    [ms for _, ms in steps]
-out = {"median_step_ms_last_half": round(statistics.median(tail), 2),
+# step_ms is logged every 50 iterations: a run that died early may have
+# event records but no step records — still emit what we have
+tail = [ms for it, ms in steps if it >= steps[-1][0] // 2] if steps else []
+out = {"median_step_ms_last_half":
+       round(statistics.median(tail), 2) if tail else None,
        "n_step_records": len(steps),
        "final_pair_capacity": pairs[-1][1] if pairs else None,
        "note": "compare against bench.py per-frame ms at similar pairs"}
-json.dump(out, open("/tmp/tpu_round3/step_vs_bench.json", "w"), indent=1)
+json.dump(out, open(f"{logdir}/step_vs_bench.json", "w"), indent=1)
 print(out)
 PY
 

@@ -139,11 +139,8 @@ def test_colmap_text_matches_binary(tmp_path):
         os.path.join(sparse, "points3D.txt"))[0].shape == (N_POINTS, 3)
 
 
-def test_colmap_mixed_focals_per_view_intrinsics(tmp_path):
-    """Multi-camera rigs: views with differing focals load with per-view
-    tan_fov records (intrinsics ride as traced render operands, so the
-    trainer supports them with one compiled step)."""
-    _write_model(tmp_path, binary=True)
+def _make_mixed_focal_rig(tmp_path):
+    """Rewrite the fixture so image r_01 uses a second camera with 2x fx."""
     sparse = tmp_path / "sparse" / "0"
     with open(sparse / "cameras.bin", "wb") as f:
         f.write(struct.pack("<Q", 2))
@@ -161,6 +158,14 @@ def test_colmap_mixed_focals_per_view_intrinsics(tmp_path):
     struct.pack_into("<i", raw, off, 2)
     with open(sparse / "images.bin", "wb") as f:
         f.write(raw)
+
+
+def test_colmap_mixed_focals_per_view_intrinsics(tmp_path):
+    """Multi-camera rigs: views with differing focals load with per-view
+    tan_fov records (intrinsics ride as traced render operands, so the
+    trainer supports them with one compiled step)."""
+    _write_model(tmp_path, binary=True)
+    _make_mixed_focal_rig(tmp_path)
     ds = ColmapDataset(str(tmp_path), "train", holdout=0)
     # image r_01 (sorted position 1) uses camera 2 (fx doubled)
     assert ds.camera(1)["tan_fovx"] == pytest.approx(W / (2 * FX * 2))
@@ -294,6 +299,46 @@ def test_save_cameras_json_viewer_schema(tmp_path):
     np.testing.assert_allclose(np.asarray(e["rotation"]),
                                np.asarray(cam["R"]).T, atol=1e-6)
     assert e["img_name"] == "r_01"
+
+
+@pytest.mark.slow
+def test_trainer_multi_focal_rig(tmp_path):
+    """End-to-end per-view intrinsics: a two-focal-group rig trains through
+    the per-camera tan arrays, and the trainer's stored intrinsics route to
+    the right camera (catches a tanfx/tanfy swap or wrong-index wiring —
+    geometry would otherwise be silently wrong for every non-cam0 view)."""
+    import jax.numpy as jnp
+
+    from gstpu.trainer import Trainer
+
+    _write_model(tmp_path, binary=True)
+    _make_mixed_focal_rig(tmp_path)
+    cfg = GSConfig(num_iterations=2, min_valid_points=1,
+                   save_interval=1 << 30, eval_holdout=0)
+    tr = Trainer(str(tmp_path), str(tmp_path / "out"), config=cfg)
+    tans = np.asarray(tr._tanfx)
+    assert len(np.unique(np.round(tans, 6))) == 2   # two focal groups
+    tr.train()                                      # per-camera tans traced
+    assert np.isfinite(tr.losses).all()
+
+    # stored per-camera arrays == each camera record's own tans (swap/index
+    # wiring check), and the two groups render differently
+    cam1 = tr.train_data.camera(1)
+    assert float(tr._tanfx[1]) == pytest.approx(cam1["tan_fovx"], rel=1e-6)
+    assert float(tr._tanfy[1]) == pytest.approx(cam1["tan_fovy"], rel=1e-6)
+    assert cam1["tan_fovx"] != pytest.approx(cam1["tan_fovy"], rel=1e-3)
+    settings = tr._settings()
+    args = (jnp.asarray(cam1["world_to_camera"]),
+            jnp.asarray(cam1["full_proj_matrix"]),
+            jnp.asarray(cam1["camera_center"]))
+    own, _, _ = tr._render_eval_aux(settings, tr.model, *args,
+                                    tr._tanfx[1], tr._tanfy[1])
+    cam0 = tr.train_data.camera(0)
+    other, _, _ = tr._render_eval_aux(settings, tr.model, *args,
+                                      cam0["tan_fovx"], cam0["tan_fovy"])
+    own, other = np.asarray(own), np.asarray(other)
+    assert own.sum() > 0                            # content rendered
+    assert not np.allclose(own, other, atol=1e-5)   # focal actually matters
 
 
 @pytest.mark.slow
