@@ -91,4 +91,17 @@ json.dump(out, open(f"{logdir}/step_vs_bench.json", "w"), indent=1)
 print(out)
 PY
 
+# 7. land the qualitative + quantitative artifacts in the repo so the
+#    driver's end-of-round commit captures them even if no session is live
+#    (SOL.json / SCALING*.json already write to the repo root)
+mkdir -p assets
+for a in turntable.gif train_progress.gif step_vs_bench.json; do
+    [ -f "$LOGDIR/$a" ] && cp "$LOGDIR/$a" "assets/$a"
+done
+for run in /tmp/lego_official_7k /tmp/lego_official_15k; do
+    if [ -f "$run/metrics.jsonl" ]; then
+        cp "$run/metrics.jsonl" "assets/$(basename "$run")_metrics.jsonl"
+    fi
+done
+
 echo "=== done ($(date +%H:%M:%S)); logs in $LOGDIR ==="
