@@ -251,6 +251,49 @@ def test_sharded_two_distinct_cameras_average():
     assert abs(float(loss) - want) < 1e-6
 
 
+def test_sharded_two_distinct_focals_average():
+    """Per-view intrinsics under 'data': each camera in the batch renders
+    with its OWN tan_fov (multi-focal rigs), and the batched loss equals the
+    mean of the per-camera single-device losses computed with those tans."""
+    cam, params, alive = _scene(seed=5, n=32)
+    cfg = GSConfig()
+    settings = RenderSettings(width=64, height=64, pair_capacity=1 << 13)
+    j = jnp.asarray
+    rng = np.random.default_rng(6)
+    t1 = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    t2 = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    tx2 = cam["tan_fovx"] * 1.4      # second camera: different focal pair
+    ty2 = cam["tan_fovy"] * 0.8
+
+    def loss_for(t, tx, ty):
+        img, _, _ = render(settings, tx, ty, 1.0,
+                           params["positions"], params["scales"],
+                           params["rotations"], params["opacities"],
+                           params["shs"], j(cam["view"]), j(cam["proj"]),
+                           j(cam["campos"]), j(BG), alive, jnp.int32(0))
+        return jnp.mean(jnp.abs(img - j(t)))
+
+    want = (float(loss_for(t1, cam["tan_fovx"], cam["tan_fovy"]))
+            + float(loss_for(t2, tx2, ty2))) / 2
+    # sanity: the two focals must actually change the render
+    assert abs(float(loss_for(t2, tx2, ty2))
+               - float(loss_for(t2, cam["tan_fovx"], cam["tan_fovy"]))) > 1e-5
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    step = make_sharded_train_step(settings, cfg, mesh)
+    tans = (jnp.asarray([cam["tan_fovx"], tx2], jnp.float32),
+            jnp.asarray([cam["tan_fovy"], ty2], jnp.float32))
+    adam = init_adam_state(params)
+    views = jnp.tile(j(cam["view"])[None], (2, 1, 1))
+    projs = jnp.tile(j(cam["proj"])[None], (2, 1, 1))
+    camposes = jnp.tile(j(cam["campos"])[None], (2, 1))
+    targets = pad_targets_to_grid(
+        jnp.stack([j(t1), j(t2)]), settings, n_model=4)
+    _, _, loss, _, _, _ = step(params, adam, alive, views, projs,
+                               camposes, *tans, targets, jnp.int32(0))
+    assert abs(float(loss) - want) < 2e-6
+
+
 def test_sharded_render_pallas_matches_xla():
     """The Pallas kernels compose with the tile-banded multi-chip path."""
     import dataclasses
