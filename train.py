@@ -7,8 +7,16 @@ CLI mirror of the reference entry point (train.py:1069-1087):
 
 import argparse
 
+import jax
+
 from gstpu.config import GSConfig
 from gstpu.trainer import Trainer
+
+# Persistent compile cache: capacity growth / SH-warmup bumps retrace the
+# step (~20-60s each first time); cache across runs in this container the
+# same way bench.py and the test suite do.
+jax.config.update("jax_compilation_cache_dir", "/tmp/gstpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def main():
