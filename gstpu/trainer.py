@@ -227,8 +227,12 @@ class Trainer:
     @functools.lru_cache(maxsize=8)
     def _sharded_step(self, settings: RenderSettings):
         from gstpu.parallel.sharded import make_sharded_train_step
+        # donate the param/Adam shards like the single-device step — the
+        # updated state replaces them every step, and an undonated step pays
+        # a full params+moments HBM copy (~70 MB at 100k Gaussians); the
+        # rollback snapshot is an explicit jnp.copy, so donation is safe
         return jax.jit(make_sharded_train_step(
-            settings, self.config, self.mesh))
+            settings, self.config, self.mesh), donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
