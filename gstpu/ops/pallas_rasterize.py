@@ -166,13 +166,22 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
     pl.when branches with STATIC slot indices, and the feature block is a
     vector select over both slots (reading the inactive, possibly mid-DMA
     slot is safe — its lanes are discarded).  Compute stays chunk-granular
-    via static sub-slices, and chunks past the tile's live span (or after
-    every pixel saturates) are SKIPPED via ``lax.cond`` — DMA is
-    block-granular so a ~170-pair tile still transfers one 512-pair BLOCK,
-    but it no longer pays 4 chunks of VPU alpha/compositing math for it
-    (the kernels are compute-bound; the skipped chunks' lanes are
-    all-masked, so skipping is exact).  Accumulators are per-chunk-reduced
-    (256, 1) columns, keeping the cond carries to a few vregs.
+    via static sub-slices.  Color/depth/n_contrib accumulate as full
+    (256, C) carries and reduce across lanes ONCE after the loop — the only
+    per-chunk lane reduction is the transmittance min (a true sequential
+    dependency).
+
+    Dead chunks past the tile's live span run their (all-masked, exact-zero)
+    VPU math unconditionally.  Round 3 tried to skip them: (a) a
+    value-returning ``lax.cond`` fails real-TPU Mosaic legalization
+    ("failed to legalize operation 'scf.if'"), and (b) shrinking the
+    accumulators to per-chunk-reduced (256, 1) columns makes the WHILE
+    loop's own ``scf.yield`` fail to legalize — lane-reduction results
+    carry a lane-replicated vreg layout (#tpu.vpad "32,{0,*},(8,128)")
+    that Mosaic cannot yield as a loop carry (reproduced on v5e; interpret
+    mode and jax.export cross-lowering both pass, so only a real-Mosaic
+    compile catches this class).  Block-level skipping still happens via
+    the while_loop cond.
     """
     t = pl.program_id(0)
     start = tile_start[t]
@@ -202,19 +211,16 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         alpha_eff, indiv, _, _, _, _, _ = _chunk_alpha_vmem(
             feat, pixf_x, pixf_y, lane_valid)
         p_incl, t_ex = _prefix_products(trans, alpha_eff, lanes)
-        kept = indiv & (p_incl >= T_EPS) & jnp.logical_not(done)
+        # ``done`` rides the while carry as f32 0/1, not bool: Mosaic cannot
+        # legalize vector<i1> loop carries on real TPUs (scf.yield fails)
+        kept = indiv & (p_incl >= T_EPS) & (done == 0.0)
         w = jnp.where(kept, alpha_eff * t_ex, 0.0)        # (256, C)
 
-        cacc = (cacc[0] + jnp.sum(w * _feat_row(feat, 6, lane_valid),
-                                  axis=1, keepdims=True),
-                cacc[1] + jnp.sum(w * _feat_row(feat, 7, lane_valid),
-                                  axis=1, keepdims=True),
-                cacc[2] + jnp.sum(w * _feat_row(feat, 8, lane_valid),
-                                  axis=1, keepdims=True))
-        dacc = dacc + jnp.sum(w * _feat_row(feat, 9, lane_valid),
-                              axis=1, keepdims=True)
-        last = jnp.maximum(last, jnp.max(jnp.where(kept, pos + 1, 0),
-                                         axis=1, keepdims=True))
+        cacc = (cacc[0] + w * _feat_row(feat, 6, lane_valid),
+                cacc[1] + w * _feat_row(feat, 7, lane_valid),
+                cacc[2] + w * _feat_row(feat, 8, lane_valid))
+        dacc = dacc + w * _feat_row(feat, 9, lane_valid)
+        last = jnp.maximum(last, jnp.where(kept, pos + 1, 0))
 
         p_kept = jnp.where(kept, p_incl, jnp.inf)
         p_last = jnp.min(p_kept, axis=1, keepdims=True)
@@ -222,7 +228,9 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         # the reference BREAKS the pixel at the first passing Gaussian whose
         # would-be transmittance crosses below 1e-4 (forward.py:486-488);
         # once every pixel is done the tile's while_loop exits early
-        done = done | jnp.any(indiv & (p_incl < T_EPS), axis=1, keepdims=True)
+        done = jnp.maximum(done, jnp.any(
+            indiv & (p_incl < T_EPS), axis=1, keepdims=True
+        ).astype(jnp.float32))
         return trans, done, cacc, dacc, last
 
     def body(carry):
@@ -242,26 +250,11 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
 
         feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
         for u in range(BLOCK_CHUNKS):
-            c = b * BLOCK_CHUNKS + u
-            chunk_feat = feat_blk[:, u * CHUNK:(u + 1) * CHUNK]
-            if u == 0:
-                # chunk 0 of a processed block always intersects the span
-                # (while cond: b*BLOCK < span and not all done)
-                trans, done, cacc, dacc, last = one_chunk(
-                    chunk_feat, c, trans, done, cacc, dacc, last)
-            else:
-                # skip chunks past the live span / once every pixel is done:
-                # their lanes are all-masked so skipping is exact, and the
-                # typical tile (~170 pairs vs BLOCK=512) stops paying VPU
-                # math for the block's dead tail.  Carries are (256, 1)
-                # columns — the scf.if merge is a few vregs, not the chunk.
-                live = (b * BLOCK + u * CHUNK < span) \
-                    & jnp.logical_not(jnp.all(done))
-                trans, done, cacc, dacc, last = jax.lax.cond(
-                    live,
-                    lambda a, f=chunk_feat, ci=c: one_chunk(f, ci, *a),
-                    lambda a: a,
-                    (trans, done, cacc, dacc, last))
+            # dead chunks past the span are all-masked (exact zeros); see
+            # the docstring for why they are not lax.cond-gated
+            trans, done, cacc, dacc, last = one_chunk(
+                feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
+                b * BLOCK_CHUNKS + u, trans, done, cacc, dacc, last)
 
         # the consumed slot is free: prefetch block b+2 into it
         @pl.when(even & ((b + 2) * BLOCK < span))
@@ -276,12 +269,12 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
 
     def cond(carry):
         b, done = carry[0], carry[2]
-        return (b * BLOCK < span) & jnp.logical_not(jnp.all(done))
+        return (b * BLOCK < span) & (jnp.min(done) == 0.0)
 
-    zc = jnp.zeros((TILE_PIXELS, 1), jnp.float32)
+    zc = jnp.zeros((TILE_PIXELS, CHUNK), jnp.float32)
     init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
-            jnp.zeros((TILE_PIXELS, 1), jnp.bool_),
-            (zc, zc, zc), zc, jnp.zeros((TILE_PIXELS, 1), jnp.int32))
+            jnp.zeros((TILE_PIXELS, 1), jnp.float32),
+            (zc, zc, zc), zc, jnp.zeros((TILE_PIXELS, CHUNK), jnp.int32))
     (b_end, trans, _, cacc, dacc, last) = jax.lax.while_loop(cond, body, init)
 
     # early exit (or count == 0 skip) can leave prefetched DMAs un-waited;
@@ -306,12 +299,13 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
 
     # pack results as rows of the (1, 8, 256) output block; n_contrib rides
     # as bitcast float bits (exact int32 round trip)
-    out_ref[0, 0, :] = cacc[0][:, 0]
-    out_ref[0, 1, :] = cacc[1][:, 0]
-    out_ref[0, 2, :] = cacc[2][:, 0]
-    out_ref[0, 3, :] = dacc[:, 0]
+    out_ref[0, 0, :] = jnp.sum(cacc[0], axis=1)
+    out_ref[0, 1, :] = jnp.sum(cacc[1], axis=1)
+    out_ref[0, 2, :] = jnp.sum(cacc[2], axis=1)
+    out_ref[0, 3, :] = jnp.sum(dacc, axis=1)
     out_ref[0, 4, :] = trans[:, 0]
-    out_ref[0, 5, :] = pltpu.bitcast(last, jnp.float32)[:, 0]
+    out_ref[0, 5, :] = pltpu.bitcast(
+        jnp.max(last, axis=1, keepdims=True), jnp.float32)[:, 0]
     out_ref[0, 6, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
     out_ref[0, 7, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
 
@@ -425,7 +419,9 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         alpha_eff, indiv, g, dx, dy, (ca, cb, cc), op = _chunk_alpha_vmem(
             feat, pixf_x, pixf_y, lane_valid)
         p_incl, t_ex = _prefix_products(trans, alpha_eff, lanes)
-        kept = indiv & (p_incl >= T_EPS) & jnp.logical_not(done)
+        # done is an f32 0/1 carry — see the forward kernel (Mosaic cannot
+        # legalize vector<i1> loop carries)
+        kept = indiv & (p_incl >= T_EPS) & (done == 0.0)
         w = jnp.where(kept, alpha_eff * t_ex, 0.0)
 
         cdot = (_feat_row(feat, 6, lane_valid) * ct_r
@@ -476,7 +472,9 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         p_kept = jnp.where(kept, p_incl, jnp.inf)
         p_last = jnp.min(p_kept, axis=1, keepdims=True)
         trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
-        done = done | jnp.any(indiv & (p_incl < T_EPS), axis=1, keepdims=True)
+        done = jnp.maximum(done, jnp.any(
+            indiv & (p_incl < T_EPS), axis=1, keepdims=True
+        ).astype(jnp.float32))
         prefix_u = prefix_u + jnp.sum(u, axis=1, keepdims=True)
         return rows, trans, done, prefix_u
 
@@ -496,25 +494,12 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
         all_rows = []
         for u in range(BLOCK_CHUNKS):
-            c = b * BLOCK_CHUNKS + u
-            chunk_feat = feat_blk[:, u * CHUNK:(u + 1) * CHUNK]
-            if u == 0:
-                rows, trans, done, prefix_u = one_chunk(
-                    chunk_feat, c, trans, done, prefix_u)
-            else:
-                # skip chunks past the live span / after pixel saturation
-                # (same gating as the forward kernel); the skipped chunk's
-                # grad rows are exact zeros — identical to what the masked
-                # compute produced, at no VPU/MXU cost.
-                live = (b * BLOCK + u * CHUNK < span) \
-                    & jnp.logical_not(jnp.all(done))
-                zrows = tuple(jnp.zeros((CHUNK,), jnp.float32)
-                              for _ in range(10))
-                rows, trans, done, prefix_u = jax.lax.cond(
-                    live,
-                    lambda a, f=chunk_feat, ci=c: one_chunk(f, ci, *a),
-                    lambda a, z=zrows: (z,) + a,
-                    (trans, done, prefix_u))
+            # dead chunks produce all-masked exact-zero grad rows; not
+            # lax.cond-gated — see the forward kernel docstring (Mosaic
+            # cannot legalize value-returning scf.if on real TPUs)
+            rows, trans, done, prefix_u = one_chunk(
+                feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
+                b * BLOCK_CHUNKS + u, trans, done, prefix_u)
             all_rows.append(rows)
 
         def write_and_send(slot: int):
@@ -560,10 +545,10 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
 
     def cond(carry):
         b, done = carry[0], carry[2]
-        return (b * BLOCK < span) & jnp.logical_not(jnp.all(done))
+        return (b * BLOCK < span) & (jnp.min(done) == 0.0)
 
     init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
-            jnp.zeros((TILE_PIXELS, 1), jnp.bool_),
+            jnp.zeros((TILE_PIXELS, 1), jnp.float32),
             jnp.zeros((TILE_PIXELS, 1), jnp.float32))
     (b_end, _, _, _) = jax.lax.while_loop(cond, body, init)
 
