@@ -40,6 +40,10 @@ def main():
     if "--n" in sys.argv:
         N_GAUSSIANS = int(sys.argv[sys.argv.index("--n") + 1])
 
+    # persistent compile cache (the band graphs dominate run time otherwise)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gstpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from gstpu.config import RenderSettings
     from gstpu.ops.losses import l1_loss
     from gstpu.ops.rasterize import render
@@ -172,7 +176,11 @@ def main():
         ins = jax.block_until_ready((
             sl(args[0]), sl(prep.cov3d), sl(prep.radii), sl(args[4]),
             sl(prep.clamped), sl(args[1]), sl(args[2]), ct3, ct2, ct3))
-        return timeit(lambda *_: chain(*ins), lo=5, hi=20)
+        # sub-ms op over a ~27ms/sync tunnel: the 5/20-iter slope is
+        # noise-dominated (a -1.5 ms "measurement" produced an unphysical
+        # >1.0 projected efficiency in one capture); amortize much harder
+        # and clamp at zero
+        return max(timeit(lambda *_: chain(*ins), lo=40, hi=200), 0.0)
 
     # Preprocess fwd at N vs N/n: the sharded step preprocesses only each
     # device's slice (rasterize._render_fwd sharded_prep), but the band
@@ -185,7 +193,8 @@ def main():
             return _pre0(*a, *cam_args[:3], WIDTH, HEIGHT, cam["tan_fovx"],
                          cam["tan_fovy"], probe.grid_x, probe.grid_y, 3,
                          tight_radius=True)
-        return timeit(lambda *_: pre(*ins), lo=5, hi=20)
+        # same sub-ms amortization + clamp as chain_ms
+        return max(timeit(lambda *_: pre(*ins), lo=40, hi=200), 0.0)
 
     grid_y = base.grid_y
     for n in (2, 4, 8):
@@ -197,7 +206,11 @@ def main():
         s = dataclasses.replace(base, tile_rows=rows, row_stride=n,
                                 pair_capacity=cap,
                                 kept_capacity=fit_cap(worst_live * kept_frac))
-        band_ms = [timeit(make_fwd_bwd(s, d), lo=3, hi=12) for d in range(n)]
+        # the worst band IS the projection: at n=8 a band is ~5 ms, so the
+        # 3/12-iter slope carried ~±1 ms of tunnel noise straight into the
+        # efficiency — amortize harder (runtime cost is trivial vs compiles)
+        band_ms = [timeit(make_fwd_bwd(s, d), lo=10, hi=40)
+                   for d in range(n)]
         worst = max(band_ms)
         chain_full = chain_ms(N_GAUSSIANS)
         chain_slice = chain_ms(N_GAUSSIANS // n)
@@ -205,7 +218,9 @@ def main():
         pre_slice = pre_ms(N_GAUSSIANS // n)
         adj = worst - chain_full + chain_slice - pre_full + pre_slice
         eff = t_full / (n * (worst + T_COLLECTIVE_MS))
-        eff_adj = t_full / (n * (adj + 3 * T_COLLECTIVE_MS))
+        # a projection above 1.0 is a measurement artifact, not superlinear
+        # scaling — clamp so the artifact can't overstate the capability
+        eff_adj = min(t_full / (n * (adj + 3 * T_COLLECTIVE_MS)), 1.0)
         result["bands"][str(n)] = {
             "per_device_ms": [round(x, 3) for x in band_ms],
             "worst_ms": round(worst, 3),
