@@ -194,120 +194,138 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
     pixf_x, pixf_y = _pix_coords(t, row0_ref[0], grid_x, row_stride)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-    @pl.when(count > 0)
+    # Empty tiles skip EVERYTHING below: initializing + final-reducing the
+    # (256, CHUNK) loop carries costs ~3.5 us/tile even with zero pairs
+    # (measured round 4: the full kernel at the bench scene is 9.7 ms of
+    # which 8.8 ms is this fixed cost — only 143/2500 tiles are nonempty
+    # there).  A no-result scf.if (pl.when) legalizes fine on real TPUs,
+    # unlike the value-returning lax.cond (see the docstring above).
+    @pl.when(count == 0)
     def _():
+        zero = jnp.zeros((TILE_PIXELS,), jnp.float32)
+        out_ref[0, 0, :] = zero
+        out_ref[0, 1, :] = zero
+        out_ref[0, 2, :] = zero
+        out_ref[0, 3, :] = zero
+        out_ref[0, 4, :] = jnp.ones((TILE_PIXELS,), jnp.float32)
+        out_ref[0, 5, :] = zero          # n_contrib 0 bitcasts to f32 0.0
+        out_ref[0, 6, :] = zero
+        out_ref[0, 7, :] = zero
+
+    @pl.when(count > 0)
+    def _nonempty():
         _feat_dma(feat_hbm, feat_vmem, sem, astart, 0, 0).start()
 
-    @pl.when(BLOCK < span)
-    def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, astart, 1, 1).start()
-
-    def one_chunk(feat, c, trans, done, cacc, dacc, last):
-        """Composite one chunk from a (FEAT_ROWS, CHUNK) slice; safe on
-        never-DMA'd (stale) data: every per-pair term is masked by
-        ``lane_valid``, which is all-False then."""
-        pos = c * CHUNK + lanes - head                    # (1, C) in-tile idx
-        lane_valid = (pos >= 0) & (pos < count)
-        alpha_eff, indiv, _, _, _, _, _ = _chunk_alpha_vmem(
-            feat, pixf_x, pixf_y, lane_valid)
-        p_incl, t_ex = _prefix_products(trans, alpha_eff, lanes)
-        # ``done`` rides the while carry as f32 0/1, not bool: Mosaic cannot
-        # legalize vector<i1> loop carries on real TPUs (scf.yield fails)
-        kept = indiv & (p_incl >= T_EPS) & (done == 0.0)
-        w = jnp.where(kept, alpha_eff * t_ex, 0.0)        # (256, C)
-
-        cacc = (cacc[0] + w * _feat_row(feat, 6, lane_valid),
-                cacc[1] + w * _feat_row(feat, 7, lane_valid),
-                cacc[2] + w * _feat_row(feat, 8, lane_valid))
-        dacc = dacc + w * _feat_row(feat, 9, lane_valid)
-        last = jnp.maximum(last, jnp.where(kept, pos + 1, 0))
-
-        p_kept = jnp.where(kept, p_incl, jnp.inf)
-        p_last = jnp.min(p_kept, axis=1, keepdims=True)
-        trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
-        # the reference BREAKS the pixel at the first passing Gaussian whose
-        # would-be transmittance crosses below 1e-4 (forward.py:486-488);
-        # once every pixel is done the tile's while_loop exits early
-        done = jnp.maximum(done, jnp.any(
-            indiv & (p_incl < T_EPS), axis=1, keepdims=True
-        ).astype(jnp.float32))
-        return trans, done, cacc, dacc, last
-
-    def body(carry):
-        (b, trans, done, cacc, dacc, last) = carry
-        even = b % 2 == 0
-
-        # the wait descriptor must match the start descriptor exactly
-        # (same astart base) — the semaphore decrement is shape-derived, but
-        # the address is still a pl.multiple_of hint to Mosaic and must hold
-        @pl.when(even)
+        @pl.when(BLOCK < span)
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, astart, b, 0).wait()
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, 1, 1).start()
 
-        @pl.when(jnp.logical_not(even))
+        def one_chunk(feat, c, trans, done, cacc, dacc, last):
+            """Composite one chunk from a (FEAT_ROWS, CHUNK) slice; safe on
+            never-DMA'd (stale) data: every per-pair term is masked by
+            ``lane_valid``, which is all-False then."""
+            pos = c * CHUNK + lanes - head                    # (1, C) in-tile idx
+            lane_valid = (pos >= 0) & (pos < count)
+            alpha_eff, indiv, _, _, _, _, _ = _chunk_alpha_vmem(
+                feat, pixf_x, pixf_y, lane_valid)
+            p_incl, t_ex = _prefix_products(trans, alpha_eff, lanes)
+            # ``done`` rides the while carry as f32 0/1, not bool: Mosaic cannot
+            # legalize vector<i1> loop carries on real TPUs (scf.yield fails)
+            kept = indiv & (p_incl >= T_EPS) & (done == 0.0)
+            w = jnp.where(kept, alpha_eff * t_ex, 0.0)        # (256, C)
+
+            cacc = (cacc[0] + w * _feat_row(feat, 6, lane_valid),
+                    cacc[1] + w * _feat_row(feat, 7, lane_valid),
+                    cacc[2] + w * _feat_row(feat, 8, lane_valid))
+            dacc = dacc + w * _feat_row(feat, 9, lane_valid)
+            last = jnp.maximum(last, jnp.where(kept, pos + 1, 0))
+
+            p_kept = jnp.where(kept, p_incl, jnp.inf)
+            p_last = jnp.min(p_kept, axis=1, keepdims=True)
+            trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
+            # the reference BREAKS the pixel at the first passing Gaussian whose
+            # would-be transmittance crosses below 1e-4 (forward.py:486-488);
+            # once every pixel is done the tile's while_loop exits early
+            done = jnp.maximum(done, jnp.any(
+                indiv & (p_incl < T_EPS), axis=1, keepdims=True
+            ).astype(jnp.float32))
+            return trans, done, cacc, dacc, last
+
+        def body(carry):
+            (b, trans, done, cacc, dacc, last) = carry
+            even = b % 2 == 0
+
+            # the wait descriptor must match the start descriptor exactly
+            # (same astart base) — the semaphore decrement is shape-derived, but
+            # the address is still a pl.multiple_of hint to Mosaic and must hold
+            @pl.when(even)
+            def _():
+                _feat_dma(feat_hbm, feat_vmem, sem, astart, b, 0).wait()
+
+            @pl.when(jnp.logical_not(even))
+            def _():
+                _feat_dma(feat_hbm, feat_vmem, sem, astart, b, 1).wait()
+
+            feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
+            for u in range(BLOCK_CHUNKS):
+                # dead chunks past the span are all-masked (exact zeros); see
+                # the docstring for why they are not lax.cond-gated
+                trans, done, cacc, dacc, last = one_chunk(
+                    feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
+                    b * BLOCK_CHUNKS + u, trans, done, cacc, dacc, last)
+
+            # the consumed slot is free: prefetch block b+2 into it
+            @pl.when(even & ((b + 2) * BLOCK < span))
+            def _():
+                _feat_dma(feat_hbm, feat_vmem, sem, astart, b + 2, 0).start()
+
+            @pl.when(jnp.logical_not(even) & ((b + 2) * BLOCK < span))
+            def _():
+                _feat_dma(feat_hbm, feat_vmem, sem, astart, b + 2, 1).start()
+
+            return (b + 1, trans, done, cacc, dacc, last)
+
+        def cond(carry):
+            b, done = carry[0], carry[2]
+            return (b * BLOCK < span) & (jnp.min(done) == 0.0)
+
+        zc = jnp.zeros((TILE_PIXELS, CHUNK), jnp.float32)
+        init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
+                jnp.zeros((TILE_PIXELS, 1), jnp.float32),
+                (zc, zc, zc), zc, jnp.zeros((TILE_PIXELS, CHUNK), jnp.int32))
+        (b_end, trans, _, cacc, dacc, last) = jax.lax.while_loop(cond, body, init)
+
+        # early exit (or count == 0 skip) can leave prefetched DMAs un-waited;
+        # drain them (block x rides slot x % 2) so slot reuse stays safe.
+        even_end = b_end % 2 == 0
+
+        @pl.when((b_end * BLOCK < span) & even_end)
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, astart, b, 1).wait()
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end, 0).wait()
 
-        feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
-        for u in range(BLOCK_CHUNKS):
-            # dead chunks past the span are all-masked (exact zeros); see
-            # the docstring for why they are not lax.cond-gated
-            trans, done, cacc, dacc, last = one_chunk(
-                feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
-                b * BLOCK_CHUNKS + u, trans, done, cacc, dacc, last)
-
-        # the consumed slot is free: prefetch block b+2 into it
-        @pl.when(even & ((b + 2) * BLOCK < span))
+        @pl.when((b_end * BLOCK < span) & jnp.logical_not(even_end))
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, astart, b + 2, 0).start()
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end, 1).wait()
 
-        @pl.when(jnp.logical_not(even) & ((b + 2) * BLOCK < span))
+        @pl.when(((b_end + 1) * BLOCK < span) & even_end)
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, astart, b + 2, 1).start()
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end + 1, 1).wait()
 
-        return (b + 1, trans, done, cacc, dacc, last)
+        @pl.when(((b_end + 1) * BLOCK < span) & jnp.logical_not(even_end))
+        def _():
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end + 1, 0).wait()
 
-    def cond(carry):
-        b, done = carry[0], carry[2]
-        return (b * BLOCK < span) & (jnp.min(done) == 0.0)
-
-    zc = jnp.zeros((TILE_PIXELS, CHUNK), jnp.float32)
-    init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),
-            (zc, zc, zc), zc, jnp.zeros((TILE_PIXELS, CHUNK), jnp.int32))
-    (b_end, trans, _, cacc, dacc, last) = jax.lax.while_loop(cond, body, init)
-
-    # early exit (or count == 0 skip) can leave prefetched DMAs un-waited;
-    # drain them (block x rides slot x % 2) so slot reuse stays safe.
-    even_end = b_end % 2 == 0
-
-    @pl.when((b_end * BLOCK < span) & even_end)
-    def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end, 0).wait()
-
-    @pl.when((b_end * BLOCK < span) & jnp.logical_not(even_end))
-    def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end, 1).wait()
-
-    @pl.when(((b_end + 1) * BLOCK < span) & even_end)
-    def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end + 1, 1).wait()
-
-    @pl.when(((b_end + 1) * BLOCK < span) & jnp.logical_not(even_end))
-    def _():
-        _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end + 1, 0).wait()
-
-    # pack results as rows of the (1, 8, 256) output block; n_contrib rides
-    # as bitcast float bits (exact int32 round trip)
-    out_ref[0, 0, :] = jnp.sum(cacc[0], axis=1)
-    out_ref[0, 1, :] = jnp.sum(cacc[1], axis=1)
-    out_ref[0, 2, :] = jnp.sum(cacc[2], axis=1)
-    out_ref[0, 3, :] = jnp.sum(dacc, axis=1)
-    out_ref[0, 4, :] = trans[:, 0]
-    out_ref[0, 5, :] = pltpu.bitcast(
-        jnp.max(last, axis=1, keepdims=True), jnp.float32)[:, 0]
-    out_ref[0, 6, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
-    out_ref[0, 7, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
+        # pack results as rows of the (1, 8, 256) output block; n_contrib rides
+        # as bitcast float bits (exact int32 round trip)
+        out_ref[0, 0, :] = jnp.sum(cacc[0], axis=1)
+        out_ref[0, 1, :] = jnp.sum(cacc[1], axis=1)
+        out_ref[0, 2, :] = jnp.sum(cacc[2], axis=1)
+        out_ref[0, 3, :] = jnp.sum(dacc, axis=1)
+        out_ref[0, 4, :] = trans[:, 0]
+        out_ref[0, 5, :] = pltpu.bitcast(
+            jnp.max(last, axis=1, keepdims=True), jnp.float32)[:, 0]
+        out_ref[0, 6, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
+        out_ref[0, 7, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
 
 
 def prepare_layout(prep: PreprocessOut, pairs: Pairs, num_tiles: int = 0):
@@ -384,217 +402,224 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         return pltpu.make_async_copy(grads_hbm.at[:, pl.ds(s, CHUNK)],
                                      merge_vmem, sem_mrg)
 
-    @pl.when((count > 0) & (head > 0))
-    def _():
-        merge_dma().start()
-
-    # per-pixel quantities of this tile, as (256, 1) columns
-    ctot_dot = pix_in[0, 0, :].reshape(TILE_PIXELS, 1)
-    bg_dot = pix_in[0, 1, :].reshape(TILE_PIXELS, 1)
-    final_t = pix_in[0, 2, :].reshape(TILE_PIXELS, 1)
-    ct_r = pix_in[0, 3, :].reshape(TILE_PIXELS, 1)
-    ct_g = pix_in[0, 4, :].reshape(TILE_PIXELS, 1)
-    ct_b = pix_in[0, 5, :].reshape(TILE_PIXELS, 1)
-    ct_d = pix_in[0, 6, :].reshape(TILE_PIXELS, 1)   # depth cotangent
-
     def out_dma(b, slot: int):
         s = pl.multiple_of(astart + b * BLOCK, CHUNK)
         return pltpu.make_async_copy(grad_vmem.at[slot],
                                      grads_hbm.at[:, pl.ds(s, BLOCK)],
                                      sem_out.at[slot])
 
-    @pl.when(count > 0)
+    # Empty tiles skip everything except the processed count (same fixed
+    # per-tile cost finding as the forward kernel; the grads_hbm slice stays
+    # untouched — it is ANY-space garbage the epilogue's validity mask drops).
+    @pl.when(count == 0)
     def _():
+        processed_ref[0, :, :] = jnp.zeros((8, 128), jnp.int32)
+
+    @pl.when(count > 0)
+    def _nonempty():
+        @pl.when(head > 0)
+        def _():
+            merge_dma().start()
+
+        # per-pixel quantities of this tile, as (256, 1) columns
+        ctot_dot = pix_in[0, 0, :].reshape(TILE_PIXELS, 1)
+        bg_dot = pix_in[0, 1, :].reshape(TILE_PIXELS, 1)
+        final_t = pix_in[0, 2, :].reshape(TILE_PIXELS, 1)
+        ct_r = pix_in[0, 3, :].reshape(TILE_PIXELS, 1)
+        ct_g = pix_in[0, 4, :].reshape(TILE_PIXELS, 1)
+        ct_b = pix_in[0, 5, :].reshape(TILE_PIXELS, 1)
+        ct_d = pix_in[0, 6, :].reshape(TILE_PIXELS, 1)   # depth cotangent
+
         _feat_dma(feat_hbm, feat_vmem, sem_in, astart, 0, 0).start()
 
-    @pl.when(BLOCK < span)
-    def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, astart, 1, 1).start()
-
-    def one_chunk(feat, c, trans, done, prefix_u):
-        """Gradient rows for one chunk; stale-data safe (all terms masked by
-        lane_valid).  Returns (rows tuple, new carries)."""
-        pos = c * CHUNK + lanes - head
-        lane_valid = (pos >= 0) & (pos < count)
-        alpha_eff, indiv, g, dx, dy, (ca, cb, cc), op = _chunk_alpha_vmem(
-            feat, pixf_x, pixf_y, lane_valid)
-        p_incl, t_ex = _prefix_products(trans, alpha_eff, lanes)
-        # done is an f32 0/1 carry — see the forward kernel (Mosaic cannot
-        # legalize vector<i1> loop carries)
-        kept = indiv & (p_incl >= T_EPS) & (done == 0.0)
-        w = jnp.where(kept, alpha_eff * t_ex, 0.0)
-
-        cdot = (_feat_row(feat, 6, lane_valid) * ct_r
-                + _feat_row(feat, 7, lane_valid) * ct_g
-                + _feat_row(feat, 8, lane_valid) * ct_b
-                + _feat_row(feat, 9, lane_valid) * ct_d)    # (256, C)
-        u = w * cdot
-        # inclusive prefix sum along lanes as ONE MXU matmul against a
-        # lower-triangular ones matrix — log2(C) VPU roll passes cost far more
-        # than a (256,C)x(C,C) matmul on the systolic array
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-        cols_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-        tri = (rows_i <= cols_i).astype(jnp.float32)
-        cum_u = jax.lax.dot_general(
-            u, tri, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        prefix_u_incl = prefix_u + cum_u
-        inv_one_m = 1.0 / (1.0 - alpha_eff)
-        dl_dalpha = (cdot * t_ex
-                     - (ctot_dot - prefix_u_incl) * inv_one_m
-                     - (final_t * inv_one_m) * bg_dot)
-        dl_dalpha = jnp.where(kept, dl_dalpha, 0.0)
-
-        dl_dg = op * dl_dalpha
-        gdx = g * dx
-        gdy = g * dy
-        dg_ddelx = -gdx * ca - gdy * cb
-        dg_ddely = -gdy * cc - gdx * cb
-
-        # per-pair sums over the 256 pixels (sublane reductions).  (A
-        # moment-basis MXU factorization of these sums was benchmarked at
-        # parity — the kernel is not reduction-bound — and was dropped for
-        # its reassociation error; see commit history.)
-        rows = (
-            jnp.sum(dl_dg * dg_ddelx, axis=0),
-            jnp.sum(dl_dg * dg_ddely, axis=0),
-            jnp.sum(-0.5 * gdx * dx * dl_dg, axis=0),
-            jnp.sum(-0.5 * gdx * dy * dl_dg, axis=0),
-            jnp.sum(-0.5 * gdy * dy * dl_dg, axis=0),
-            jnp.sum(jnp.where(kept, g, 0.0) * dl_dalpha, axis=0),
-            jnp.sum(w * ct_r, axis=0),
-            jnp.sum(w * ct_g, axis=0),
-            jnp.sum(w * ct_b, axis=0),
-            jnp.sum(w * ct_d, axis=0),                      # d inv_depth
-        )
-
-        p_kept = jnp.where(kept, p_incl, jnp.inf)
-        p_last = jnp.min(p_kept, axis=1, keepdims=True)
-        trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
-        done = jnp.maximum(done, jnp.any(
-            indiv & (p_incl < T_EPS), axis=1, keepdims=True
-        ).astype(jnp.float32))
-        prefix_u = prefix_u + jnp.sum(u, axis=1, keepdims=True)
-        return rows, trans, done, prefix_u
-
-    def body(carry):
-        (b, trans, done, prefix_u) = carry
-        even = b % 2 == 0
-
-        # wait descriptors mirror the starts' astart base (see fwd kernel)
-        @pl.when(even)
+        @pl.when(BLOCK < span)
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b, 0).wait()
+            _feat_dma(feat_hbm, feat_vmem, sem_in, astart, 1, 1).start()
 
-        @pl.when(jnp.logical_not(even))
-        def _():
-            _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b, 1).wait()
+        def one_chunk(feat, c, trans, done, prefix_u):
+            """Gradient rows for one chunk; stale-data safe (all terms masked by
+            lane_valid).  Returns (rows tuple, new carries)."""
+            pos = c * CHUNK + lanes - head
+            lane_valid = (pos >= 0) & (pos < count)
+            alpha_eff, indiv, g, dx, dy, (ca, cb, cc), op = _chunk_alpha_vmem(
+                feat, pixf_x, pixf_y, lane_valid)
+            p_incl, t_ex = _prefix_products(trans, alpha_eff, lanes)
+            # done is an f32 0/1 carry — see the forward kernel (Mosaic cannot
+            # legalize vector<i1> loop carries)
+            kept = indiv & (p_incl >= T_EPS) & (done == 0.0)
+            w = jnp.where(kept, alpha_eff * t_ex, 0.0)
 
-        feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
-        all_rows = []
-        for u in range(BLOCK_CHUNKS):
-            # dead chunks produce all-masked exact-zero grad rows; not
-            # lax.cond-gated — see the forward kernel docstring (Mosaic
-            # cannot legalize value-returning scf.if on real TPUs)
-            rows, trans, done, prefix_u = one_chunk(
-                feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
-                b * BLOCK_CHUNKS + u, trans, done, prefix_u)
-            all_rows.append(rows)
+            cdot = (_feat_row(feat, 6, lane_valid) * ct_r
+                    + _feat_row(feat, 7, lane_valid) * ct_g
+                    + _feat_row(feat, 8, lane_valid) * ct_b
+                    + _feat_row(feat, 9, lane_valid) * ct_d)    # (256, C)
+            u = w * cdot
+            # inclusive prefix sum along lanes as ONE MXU matmul against a
+            # lower-triangular ones matrix — log2(C) VPU roll passes cost far more
+            # than a (256,C)x(C,C) matmul on the systolic array
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            cols_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+            tri = (rows_i <= cols_i).astype(jnp.float32)
+            cum_u = jax.lax.dot_general(
+                u, tri, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            prefix_u_incl = prefix_u + cum_u
+            inv_one_m = 1.0 / (1.0 - alpha_eff)
+            dl_dalpha = (cdot * t_ex
+                         - (ctot_dot - prefix_u_incl) * inv_one_m
+                         - (final_t * inv_one_m) * bg_dot)
+            dl_dalpha = jnp.where(kept, dl_dalpha, 0.0)
 
-        def write_and_send(slot: int):
-            # the slot being overwritten drained two blocks ago
-            @pl.when(b >= 2)
+            dl_dg = op * dl_dalpha
+            gdx = g * dx
+            gdy = g * dy
+            dg_ddelx = -gdx * ca - gdy * cb
+            dg_ddely = -gdy * cc - gdx * cb
+
+            # per-pair sums over the 256 pixels (sublane reductions).  (A
+            # moment-basis MXU factorization of these sums was benchmarked at
+            # parity — the kernel is not reduction-bound — and was dropped for
+            # its reassociation error; see commit history.)
+            rows = (
+                jnp.sum(dl_dg * dg_ddelx, axis=0),
+                jnp.sum(dl_dg * dg_ddely, axis=0),
+                jnp.sum(-0.5 * gdx * dx * dl_dg, axis=0),
+                jnp.sum(-0.5 * gdx * dy * dl_dg, axis=0),
+                jnp.sum(-0.5 * gdy * dy * dl_dg, axis=0),
+                jnp.sum(jnp.where(kept, g, 0.0) * dl_dalpha, axis=0),
+                jnp.sum(w * ct_r, axis=0),
+                jnp.sum(w * ct_g, axis=0),
+                jnp.sum(w * ct_b, axis=0),
+                jnp.sum(w * ct_d, axis=0),                      # d inv_depth
+            )
+
+            p_kept = jnp.where(kept, p_incl, jnp.inf)
+            p_last = jnp.min(p_kept, axis=1, keepdims=True)
+            trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
+            done = jnp.maximum(done, jnp.any(
+                indiv & (p_incl < T_EPS), axis=1, keepdims=True
+            ).astype(jnp.float32))
+            prefix_u = prefix_u + jnp.sum(u, axis=1, keepdims=True)
+            return rows, trans, done, prefix_u
+
+        def body(carry):
+            (b, trans, done, prefix_u) = carry
+            even = b % 2 == 0
+
+            # wait descriptors mirror the starts' astart base (see fwd kernel)
+            @pl.when(even)
             def _():
-                out_dma(b - 2, slot).wait()
+                _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b, 0).wait()
 
-            for u, rows in enumerate(all_rows):
-                for i, r in enumerate(rows):
-                    grad_vmem[slot, i, u * CHUNK:(u + 1) * CHUNK] = r
-                grad_vmem[slot, 10:, u * CHUNK:(u + 1) * CHUNK] = \
-                    jnp.zeros((GRAD_ROWS - 10, CHUNK), jnp.float32)
-
-            # block 0's head lanes belong to the PREVIOUS tile: restore its
-            # already-written gradients before sending the block out
-            @pl.when((b == 0) & (head > 0))
+            @pl.when(jnp.logical_not(even))
             def _():
-                merge_dma().wait()
-                lane2d = jax.lax.broadcasted_iota(
-                    jnp.int32, (GRAD_ROWS, CHUNK), 1)
-                grad_vmem[slot, :, :CHUNK] = jnp.where(
-                    lane2d < head, merge_vmem[:, :],
-                    grad_vmem[slot, :, :CHUNK])
+                _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b, 1).wait()
 
-            out_dma(b, slot).start()
+            feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
+            all_rows = []
+            for u in range(BLOCK_CHUNKS):
+                # dead chunks produce all-masked exact-zero grad rows; not
+                # lax.cond-gated — see the forward kernel docstring (Mosaic
+                # cannot legalize value-returning scf.if on real TPUs)
+                rows, trans, done, prefix_u = one_chunk(
+                    feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
+                    b * BLOCK_CHUNKS + u, trans, done, prefix_u)
+                all_rows.append(rows)
 
-            # the freed in-slot prefetches block b+2
-            @pl.when((b + 2) * BLOCK < span)
+            def write_and_send(slot: int):
+                # the slot being overwritten drained two blocks ago
+                @pl.when(b >= 2)
+                def _():
+                    out_dma(b - 2, slot).wait()
+
+                for u, rows in enumerate(all_rows):
+                    for i, r in enumerate(rows):
+                        grad_vmem[slot, i, u * CHUNK:(u + 1) * CHUNK] = r
+                    grad_vmem[slot, 10:, u * CHUNK:(u + 1) * CHUNK] = \
+                        jnp.zeros((GRAD_ROWS - 10, CHUNK), jnp.float32)
+
+                # block 0's head lanes belong to the PREVIOUS tile: restore its
+                # already-written gradients before sending the block out
+                @pl.when((b == 0) & (head > 0))
+                def _():
+                    merge_dma().wait()
+                    lane2d = jax.lax.broadcasted_iota(
+                        jnp.int32, (GRAD_ROWS, CHUNK), 1)
+                    grad_vmem[slot, :, :CHUNK] = jnp.where(
+                        lane2d < head, merge_vmem[:, :],
+                        grad_vmem[slot, :, :CHUNK])
+
+                out_dma(b, slot).start()
+
+                # the freed in-slot prefetches block b+2
+                @pl.when((b + 2) * BLOCK < span)
+                def _():
+                    _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b + 2,
+                              slot).start()
+
+            @pl.when(even)
             def _():
-                _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b + 2,
-                          slot).start()
+                write_and_send(0)
 
-        @pl.when(even)
+            @pl.when(jnp.logical_not(even))
+            def _():
+                write_and_send(1)
+
+            return (b + 1, trans, done, prefix_u)
+
+        def cond(carry):
+            b, done = carry[0], carry[2]
+            return (b * BLOCK < span) & (jnp.min(done) == 0.0)
+
+        init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
+                jnp.zeros((TILE_PIXELS, 1), jnp.float32),
+                jnp.zeros((TILE_PIXELS, 1), jnp.float32))
+        (b_end, _, _, _) = jax.lax.while_loop(cond, body, init)
+
+        # drain un-waited prefetched input DMAs (block x rides slot x % 2) ...
+        even_end = b_end % 2 == 0
+
+        @pl.when((b_end * BLOCK < span) & even_end)
         def _():
-            write_and_send(0)
+            _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b_end, 0).wait()
 
-        @pl.when(jnp.logical_not(even))
+        @pl.when((b_end * BLOCK < span) & jnp.logical_not(even_end))
         def _():
-            write_and_send(1)
+            _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b_end, 1).wait()
 
-        return (b + 1, trans, done, prefix_u)
+        @pl.when(((b_end + 1) * BLOCK < span) & even_end)
+        def _():
+            _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b_end + 1, 1).wait()
 
-    def cond(carry):
-        b, done = carry[0], carry[2]
-        return (b * BLOCK < span) & (jnp.min(done) == 0.0)
+        @pl.when(((b_end + 1) * BLOCK < span) & jnp.logical_not(even_end))
+        def _():
+            _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b_end + 1, 0).wait()
 
-    init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32))
-    (b_end, _, _, _) = jax.lax.while_loop(cond, body, init)
+        # ... and the last two blocks' output DMAs (every processed block
+        # started one; block x rides slot x % 2, so b_end-2 shares b_end's
+        # parity and b_end-1 the opposite)
+        @pl.when((b_end >= 2) & even_end)
+        def _():
+            out_dma(b_end - 2, 0).wait()
 
-    # drain un-waited prefetched input DMAs (block x rides slot x % 2) ...
-    even_end = b_end % 2 == 0
+        @pl.when((b_end >= 2) & jnp.logical_not(even_end))
+        def _():
+            out_dma(b_end - 2, 1).wait()
 
-    @pl.when((b_end * BLOCK < span) & even_end)
-    def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b_end, 0).wait()
+        @pl.when((b_end >= 1) & even_end)
+        def _():
+            out_dma(b_end - 1, 1).wait()
 
-    @pl.when((b_end * BLOCK < span) & jnp.logical_not(even_end))
-    def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b_end, 1).wait()
+        @pl.when((b_end >= 1) & jnp.logical_not(even_end))
+        def _():
+            out_dma(b_end - 1, 0).wait()
 
-    @pl.when(((b_end + 1) * BLOCK < span) & even_end)
-    def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b_end + 1, 1).wait()
-
-    @pl.when(((b_end + 1) * BLOCK < span) & jnp.logical_not(even_end))
-    def _():
-        _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b_end + 1, 0).wait()
-
-    # ... and the last two blocks' output DMAs (every processed block
-    # started one; block x rides slot x % 2, so b_end-2 shares b_end's
-    # parity and b_end-1 the opposite)
-    @pl.when((b_end >= 2) & even_end)
-    def _():
-        out_dma(b_end - 2, 0).wait()
-
-    @pl.when((b_end >= 2) & jnp.logical_not(even_end))
-    def _():
-        out_dma(b_end - 2, 1).wait()
-
-    @pl.when((b_end >= 1) & even_end)
-    def _():
-        out_dma(b_end - 1, 1).wait()
-
-    @pl.when((b_end >= 1) & jnp.logical_not(even_end))
-    def _():
-        out_dma(b_end - 1, 0).wait()
-
-    # Early exit leaves this tile's remaining pair slots unwritten (garbage)
-    # in the ANY-space output; report the processed slot count (relative to
-    # the tile's floor-aligned base ``astart``) so the caller masks them out
-    # of the segment sum (no serial zero-fill DMA tail).
-    processed_ref[0, :, :] = jnp.full((8, 128), b_end * BLOCK, jnp.int32)
+        # Early exit leaves this tile's remaining pair slots unwritten (garbage)
+        # in the ANY-space output; report the processed slot count (relative to
+        # the tile's floor-aligned base ``astart``) so the caller masks them out
+        # of the segment sum (no serial zero-fill DMA tail).
+        processed_ref[0, :, :] = jnp.full((8, 128), b_end * BLOCK, jnp.int32)
 
 
 def composite_backward(prep: PreprocessOut, pairs: Pairs,
@@ -651,8 +676,12 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
     # the sentinel/culled tail beyond the last tile and pairs past a tile's
     # early-exit point.  ``processed`` counts slots from each tile's
     # floor-aligned base; forward-fill both down the pair axis (scatter +
-    # cumsum; binning.py docstring), then ONE row scatter-add (row scatters
-    # are far cheaper than per-row scalar scatters).
+    # cumsum; binning.py docstring).  Then segment-sum per Gaussian in
+    # GAUSSIAN-MAJOR order: gather the masked rows to the pre-sort layout
+    # (where each Gaussian's pairs are contiguous, offsets = gauss_cum) and
+    # take cumsum differences at the segment ends — measured 4.4 ms vs
+    # 7.1 ms for the K-row scatter-add this replaces (r4_micro2.py; XLA's
+    # scatter is ~15 ns/row regardless of sortedness hints).
     from gstpu.ops.binning import fill_by_offsets
 
     pair_grads = pair_grads[:, :k]
@@ -661,10 +690,18 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
     astart_q = fill_by_offsets(pairs.tile_start, astart_t, k)
     processed_q = fill_by_offsets(pairs.tile_start, processed[:, 0, 0], k)
     valid = (pairs.tile_id < t) & (q - astart_q < processed_q)
-    pair_grads = jnp.where(valid[None, :], pair_grads, 0.0).T   # (K, 16)
-    gid = jnp.where(valid, pairs.gauss_id, n)
-    acc = jnp.zeros((n, GRAD_ROWS), jnp.float32).at[gid].add(
-        pair_grads, mode="drop")
+    pair_grads = jnp.where(valid[None, :], pair_grads, 0.0).T   # (K2, 16)
+    # zero row at index k for gm slots whose pair was culled past the
+    # two-tier slice (gm_pos >= k) — their gradients are exact zeros
+    pair_grads = jnp.concatenate(
+        [pair_grads, jnp.zeros((1, GRAD_ROWS), jnp.float32)])
+    src = jnp.minimum(pairs.gm_pos, k)                     # (K_full,)
+    grads_gm = pair_grads[src]                             # (K_full, 16)
+    csum = jnp.cumsum(grads_gm, axis=0)
+    csum = jnp.concatenate([jnp.zeros((1, GRAD_ROWS), jnp.float32), csum])
+    ends = jnp.clip(pairs.gauss_cum, 0, pairs.gm_pos.shape[0])
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    acc = csum[ends] - csum[starts]                        # (N, 16)
     ddelx_dx = 0.5 * settings.width
     ddely_dy = 0.5 * settings.height
 
