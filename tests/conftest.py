@@ -35,6 +35,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 # the reference-golden chain and are excluded from the fast tier.
 _SLOW_MODULES = {
     "test_trainer", "test_sharded", "test_golden", "test_tpu_compiled",
+    "test_multihost", "test_ref_parity_densify",
 }
 
 

@@ -54,6 +54,17 @@ def main():
     parser.add_argument("--n-data", type=int, default=1,
                         help="camera-batch data parallelism (devices used = "
                              "n_model * n_data)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host: jax.distributed coordinator "
+                             "address host:port (or GSTPU_COORDINATOR env); "
+                             "run one process per host with matching "
+                             "--num-processes/--process-id")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="multi-host: total process count "
+                             "(GSTPU_NUM_PROCESSES env)")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="multi-host: this process's id "
+                             "(GSTPU_PROCESS_ID env)")
     parser.add_argument("--resolution", "-r", type=int, default=1,
                         help="train at 1/N of the capture resolution "
                              "(official 3DGS -r; FoV unchanged)")
@@ -97,6 +108,13 @@ def main():
         config = config.replace(official_split_sampling=True)
     if args.eval_holdout is not None:
         config = config.replace(eval_holdout=args.eval_holdout)
+
+    # Multi-host: wire jax.distributed BEFORE any device query so
+    # jax.devices() spans all processes and the mesh stripes across hosts
+    # (collectives ride DCN at host boundaries).  No-op when no coordinator
+    # is configured.  Proof harness: scripts/multihost_dryrun.py.
+    from gstpu.parallel.multihost import init_distributed
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     mesh = None
     if args.n_model:
