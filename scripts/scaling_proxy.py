@@ -213,23 +213,40 @@ def main():
                    for d in range(n)]
         worst = max(band_ms)
         chain_full = chain_ms(N_GAUSSIANS)
-        chain_slice = chain_ms(N_GAUSSIANS // n)
+        chain_slice_raw = chain_ms(N_GAUSSIANS // n)
         pre_full = pre_ms(N_GAUSSIANS)
-        pre_slice = pre_ms(N_GAUSSIANS // n)
+        pre_slice_raw = pre_ms(N_GAUSSIANS // n)
+        # a 1/n-work slice cannot cost less than full/n (per-element work is
+        # uniform; overheads only ADD) — a measurement below that floor is
+        # tunnel noise and, fed raw into ``adj``, would bias the adjusted
+        # efficiency upward (ADVICE r3).  Floor it and record both values.
+        chain_slice = max(chain_slice_raw, chain_full / n)
+        pre_slice = max(pre_slice_raw, pre_full / n)
         adj = worst - chain_full + chain_slice - pre_full + pre_slice
-        eff = t_full / (n * (worst + T_COLLECTIVE_MS))
+        eff_raw = t_full / (n * (worst + T_COLLECTIVE_MS))
+        eff_adj_raw = t_full / (n * (adj + 3 * T_COLLECTIVE_MS))
         # a projection above 1.0 is a measurement artifact, not superlinear
-        # scaling — clamp so the artifact can't overstate the capability
-        eff_adj = min(t_full / (n * (adj + 3 * T_COLLECTIVE_MS)), 1.0)
+        # scaling — clamp BOTH metrics and flag it so the artifact is
+        # visible in the record (ADVICE r3: a silent clamp read as perfect
+        # scaling in SCALING_1000k.json)
+        eff = min(eff_raw, 1.0)
+        eff_adj = min(eff_adj_raw, 1.0)
         result["bands"][str(n)] = {
             "per_device_ms": [round(x, 3) for x in band_ms],
             "worst_ms": round(worst, 3),
             "chain_full_ms": round(chain_full, 3),
             "chain_slice_ms": round(chain_slice, 3),
+            "chain_slice_raw_ms": round(chain_slice_raw, 3),
             "pre_full_ms": round(pre_full, 3),
             "pre_slice_ms": round(pre_slice, 3),
+            "pre_slice_raw_ms": round(pre_slice_raw, 3),
+            "slice_floored": bool(chain_slice != chain_slice_raw
+                                  or pre_slice != pre_slice_raw),
             "projected_efficiency_replicated": round(eff, 4),
             "projected_efficiency": round(eff_adj, 4),
+            "clamped": bool(eff_raw > 1.0 or eff_adj_raw > 1.0),
+            "raw_unclamped": {"replicated": round(eff_raw, 4),
+                              "adjusted": round(eff_adj_raw, 4)},
         }
         print(f"n={n}: worst band {worst:.2f} ms, chain {chain_full:.2f}->"
               f"{chain_slice:.2f}, pre {pre_full:.2f}->{pre_slice:.2f}, "

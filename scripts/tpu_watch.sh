@@ -1,11 +1,11 @@
 #!/usr/bin/env bash
 # Watch for the axon TPU backend to come back; when it does, wait for any
 # CPU-heavy jobs (pytest / compare_ref_training) to drain — the host has
-# ONE CPU and concurrent runs corrupt TPU timings — then fire the round-3
-# capture (scripts/tpu_round3.sh).  Runs until the capture has happened.
+# ONE CPU and concurrent runs corrupt TPU timings — then fire the round-4
+# capture (scripts/tpu_round4.sh).  Runs until the capture has happened.
 set -u
 cd "$(dirname "$0")/.."
-MARK=/tmp/tpu_round3_done
+MARK=/tmp/tpu_round4_done
 while true; do
     if [ -e "$MARK" ]; then exit 0; fi
     if timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
@@ -17,8 +17,8 @@ while true; do
             [ "$busy" -eq 0 ] && break
             sleep 30
         done
-        bash scripts/tpu_round3.sh /tmp/tpu_round3 \
-            > /tmp/tpu_round3_run.log 2>&1
+        bash scripts/tpu_round4.sh /tmp/tpu_round4 \
+            > /tmp/tpu_round4_run.log 2>&1
         touch "$MARK"
         echo "$(date) capture finished" >> /tmp/tpu_watch.log
         exit 0
