@@ -181,6 +181,80 @@ def main():
         "backend": jax.default_backend(),
         "pallas": use_pallas,
     }
+
+    # Trained-scene companion (VERDICT r3 item 7): the random init cube has
+    # different pair statistics than a trained point cloud (13.6% vs 44%
+    # cull rate; PERF_NOTES), so the headline alone under-represents the
+    # workload that matters.  Uses GSTPU_BENCH_PLY, else the newest
+    # committed/locally-trained Lego checkpoint; silently skipped if none.
+    import glob
+    import os
+    ply_candidates = ([os.environ["GSTPU_BENCH_PLY"]]
+                      if os.environ.get("GSTPU_BENCH_PLY") else []) + \
+        ["assets/lego_trained.ply"] + sorted(
+            glob.glob("/tmp/lego_*/point_cloud/*/point_cloud.ply"),
+            key=os.path.getmtime, reverse=True)
+    ply = next((p for p in ply_candidates if os.path.exists(p)), None)
+    if ply is not None:
+        try:
+            from gstpu.data.nerf import NerfSyntheticDataset
+            from gstpu.utils.ply import load_ply
+
+            data = NerfSyntheticDataset("/root/reference/data/lego", "train")
+            p = load_ply(ply)
+            n = p["positions"].shape[0]
+            tcam = data.camera(0)
+            targs = (j(p["positions"]), j(p["scales"]), j(p["rotations"]),
+                     j(p["opacities"]), j(p["shs"].reshape(n, 16, 3)))
+            tcam_args = (j(tcam["world_to_camera"]),
+                         j(tcam["full_proj_matrix"]),
+                         j(tcam["camera_center"]), jnp.zeros(3, jnp.float32))
+            ttarget = j(np.asarray(data.image(0)))
+            # fit capacities to the trained scene exactly like the headline
+            tprobe = jax.jit(lambda *a: _pre(
+                *a, data.width, data.height, tcam["tan_fovx"],
+                tcam["tan_fovy"], probe.grid_x, probe.grid_y, 3,
+                tight_radius=True))(*targs, *tcam_args[:3])
+            tlive = int(np.asarray(tprobe.tiles_touched).sum())
+            tcap = -(-max(int(tlive * 1.05), 1) // 8192) * 8192
+            tp_cull = dataclasses.replace(probe, pair_capacity=tcap,
+                                          pair_cull=True)
+            (_, _, taux), _ = jax.jit(
+                lambda *a: _probe_fwd(tp_cull, tcam["tan_fovx"],
+                                      tcam["tan_fovy"], 1.0, *a, *tcam_args,
+                                      None, jnp.int32(0)))(*targs)
+            tkept_cap = -(-max(int(taux.num_kept) * 21 // 20, 1)
+                          // 8192) * 8192
+            tset = dataclasses.replace(settings, pair_capacity=tcap,
+                                       kept_capacity=tkept_cap)
+
+            @jax.jit
+            def t_fwd_bwd(m, s_, r, o, sh):
+                def loss_fn(*q):
+                    img, _, _ = render(tset, tcam["tan_fovx"],
+                                       tcam["tan_fovy"], 1.0, *q, *tcam_args,
+                                       None, jnp.int32(0))
+                    return l1_loss(img, ttarget)
+                return jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+                    m, s_, r, o, sh)
+
+            def trun(iters):
+                out = None
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    out = t_fwd_bwd(*targs)
+                jax.block_until_ready(out)
+                return time.perf_counter() - t0
+
+            trun(WARMUP)
+            tms = (trun(ITERS_HI) - trun(ITERS_LO)) \
+                / (ITERS_HI - ITERS_LO) * 1e3
+            extra["trained_scene_ms"] = round(tms, 3)
+            extra["trained_scene_gaussians"] = int(n)
+            extra["trained_scene_pairs_kept"] = int(taux.num_kept)
+            extra["trained_scene_ply"] = ply
+        except Exception as e:  # never let the companion kill the headline
+            extra["trained_scene_error"] = f"{type(e).__name__}: {e}"[:200]
     if parity_ok is not None:
         extra["pallas_parity_ok"] = parity_ok
     # measured speed-of-light floor (scripts/sol_model.py -> SOL.json):

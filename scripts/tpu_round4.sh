@@ -106,7 +106,12 @@ json.dump(out, open(f"{logdir}/step_vs_bench.json", "w"), indent=1)
 print(out)
 PY
 
-# 8. land artifacts in the repo so the round commit captures them
+# 8. land artifacts in the repo so the round commit captures them.
+# The 7k point cloud becomes the committed trained-scene bench input
+# (bench.py extra.trained_scene_ms finds assets/lego_trained.ply).
+PLY7=$(ls -t /tmp/lego_official_7k/point_cloud/*/point_cloud.ply 2>/dev/null \
+       | head -1)
+[ -n "$PLY7" ] && cp "$PLY7" assets/lego_trained.ply
 for a in turntable.gif train_progress.gif step_vs_bench.json; do
     [ -f "$LOGDIR/$a" ] && cp "$LOGDIR/$a" "assets/$a"
 done
