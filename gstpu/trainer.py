@@ -571,7 +571,9 @@ class Trainer:
                     continue
                 self.save_checkpoint(it)
                 if self.val_data is not None and it > 0:
-                    self.evaluate(it)
+                    self.evaluate(it, max_views=(cfg.eval_views
+                                                 if cfg.eval_views > 0
+                                                 else None))
         # end-of-training: FULL-split eval (round-1 subsampled to 8/16 views,
         # which made README numbers unlabeled subsets — VERDICT r1 weak #5)
         if self.val_data is not None:

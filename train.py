@@ -76,6 +76,11 @@ def main():
                         help="COLMAP captures: hold out every N-th image as "
                              "the test split (official 3DGS --eval protocol; "
                              "default 8, 0 trains on all images)")
+    parser.add_argument("--eval-views", type=int, default=None,
+                        help="views per MID-training eval (default 8; <=0 "
+                             "evaluates the full val split each time, making "
+                             "intermediate PSNR comparable to the final "
+                             "full-split numbers)")
     parser.add_argument("--random-init", action="store_true",
                         help="ignore a COLMAP dataset's SfM point cloud and "
                              "initialize at random (the reference's Q8 "
@@ -108,6 +113,8 @@ def main():
         config = config.replace(official_split_sampling=True)
     if args.eval_holdout is not None:
         config = config.replace(eval_holdout=args.eval_holdout)
+    if args.eval_views is not None:
+        config = config.replace(eval_views=args.eval_views)
 
     # Multi-host: wire jax.distributed BEFORE any device query so
     # jax.devices() spans all processes and the mesh stripes across hosts
