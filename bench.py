@@ -198,10 +198,14 @@ def main():
     if ply is not None:
         try:
             from gstpu.data.nerf import NerfSyntheticDataset
-            from gstpu.utils.ply import load_ply
+            from gstpu.utils.ply import load_ply, render_space_params
 
             data = NerfSyntheticDataset("/root/reference/data/lego", "train")
-            p = load_ply(ply)
+            # --activated checkpoints store log-scales/logit-opacities
+            # (official 3DGS convention); map to render space (BENCH_r04's
+            # trained_scene_error: raw interpretation of log-scales gave
+            # screen-covering splats and a 54 GB binning allocation)
+            p = render_space_params(load_ply(ply))
             n = p["positions"].shape[0]
             tcam = data.camera(0)
             targs = (j(p["positions"]), j(p["scales"]), j(p["rotations"]),

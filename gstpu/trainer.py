@@ -626,7 +626,8 @@ class Trainer:
                  else self.model)
         params_np = {k: np.asarray(v) for k, v in
                      model.param_dict().items()}
-        save_ply(params_np, ckpt_dir / "point_cloud.ply", n)
+        save_ply(params_np, ckpt_dir / "point_cloud.ply", n,
+                 parameterization=self.config.parameterization)
         cams_json = self.output_path / "cameras.json"
         if not cams_json.exists():  # static across training: write once
             from gstpu.utils.camera import save_cameras_json

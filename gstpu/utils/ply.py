@@ -35,8 +35,17 @@ def _vertex_dtype() -> np.dtype:
 
 
 def save_ply(params: Dict[str, np.ndarray], filepath, num_points: int,
-             colors: np.ndarray | None = None) -> None:
-    """Write a binary-little-endian 3DGS PLY (point_cloud_utils.py:10-100)."""
+             colors: np.ndarray | None = None,
+             parameterization: str | None = None) -> None:
+    """Write a binary-little-endian 3DGS PLY (point_cloud_utils.py:10-100).
+
+    Values are written as STORED — under ``parameterization="activated"``
+    scales are log-space and opacities logits (the official 3DGS on-disk
+    convention); under ``"raw"`` they are render-space (the reference's
+    convention, Q2).  The parameterization is recorded as a header comment so
+    ``load_ply`` can round-trip it; foreign PLYs without the comment are
+    classified by ``detect_parameterization``.
+    """
     pos = np.asarray(params["positions"])[:num_points]
     scales = np.asarray(params["scales"])[:num_points]
     rots = np.asarray(params["rotations"])[:num_points]
@@ -58,8 +67,10 @@ def save_ply(params: Dict[str, np.ndarray], filepath, num_points: int,
     for i in range(45):
         v[f"f_rest_{i}"] = rest[:, i]
 
-    header = ["ply", "format binary_little_endian 1.0",
-              f"element vertex {num_points}"]
+    header = ["ply", "format binary_little_endian 1.0"]
+    if parameterization is not None:
+        header.append(f"comment gstpu parameterization={parameterization}")
+    header.append(f"element vertex {num_points}")
     for name, fmt in _vertex_dtype().descr:
         header.append(f"property {_DTYPE_MAP[fmt.lstrip('<|')][0]} {name}")
     header.append("end_header")
@@ -72,7 +83,13 @@ def save_ply(params: Dict[str, np.ndarray], filepath, num_points: int,
 
 
 def load_ply(filepath) -> Dict[str, np.ndarray]:
-    """Read a 3DGS PLY back into a parameter dict (new capability)."""
+    """Read a 3DGS PLY back into a parameter dict (new capability).
+
+    The returned dict carries ``"parameterization"`` ("raw" / "activated")
+    when the file records it in a header comment; use
+    ``render_space_params`` to get render-space values either way.
+    """
+    parameterization = None
     with open(filepath, "rb") as f:
         if f.readline().strip() != b"ply":
             raise ValueError("not a PLY file")
@@ -90,6 +107,10 @@ def load_ply(filepath) -> Dict[str, np.ndarray]:
                 n = int(parts[2])
             elif parts[0] == "property":
                 props.append((parts[2], _INV_TYPE[parts[1]]))
+            elif (parts[0] == "comment" and len(parts) >= 3
+                  and parts[1] == "gstpu"
+                  and parts[2].startswith("parameterization=")):
+                parameterization = parts[2].split("=", 1)[1]
         dtype = np.dtype([(name, t) for name, t in props])
         v = np.frombuffer(f.read(dtype.itemsize * n), dtype=dtype, count=n)
 
@@ -108,6 +129,39 @@ def load_ply(filepath) -> Dict[str, np.ndarray]:
     if n_rest:
         rest = np.stack([v[f"f_rest_{i}"] for i in range(n_rest)], -1)
         shs[:, 1:1 + n_rest // 3] = rest.reshape(n, -1, 3)
-    return {"positions": positions, "scales": scales,
-            "rotations": rots.astype(np.float32), "opacities": opac,
-            "shs": shs}
+    out = {"positions": positions, "scales": scales,
+           "rotations": rots.astype(np.float32), "opacities": opac,
+           "shs": shs}
+    if parameterization is not None:
+        out["parameterization"] = parameterization
+    return out
+
+
+def detect_parameterization(params: Dict[str, np.ndarray]) -> str:
+    """Classify a loaded PLY as "raw" or "activated" stored values.
+
+    Raw (reference Q2): opacities clamped to [0, 1], scales floored at
+    0.001 — always positive.  Activated (official 3DGS on-disk convention):
+    opacities are logits (trained values stray outside [0, 1]) and scales are
+    logs (trained scales ≪ 1 ⇒ negative).  A trained checkpoint is therefore
+    unambiguous; a perfectly in-range activated file would be misread, but
+    such values (all logits in [0,1] AND all log-scales > 0) do not occur in
+    practice.
+    """
+    if "parameterization" in params:
+        return str(params["parameterization"])
+    opac = np.asarray(params["opacities"])
+    scales = np.asarray(params["scales"])
+    if (opac.size and (opac.min() < 0.0 or opac.max() > 1.0)) or \
+            (scales.size and scales.min() <= 0.0):
+        return "activated"
+    return "raw"
+
+
+def render_space_params(params: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Map loaded PLY params to render-space (apply exp/sigmoid if needed)."""
+    if detect_parameterization(params) == "activated":
+        params = {**params,
+                  "scales": np.exp(params["scales"]),
+                  "opacities": 1.0 / (1.0 + np.exp(-params["opacities"]))}
+    return {k: v for k, v in params.items() if k != "parameterization"}

@@ -131,9 +131,9 @@ def main():
 
     if args_cli.ply:
         from gstpu.data.nerf import NerfSyntheticDataset
-        from gstpu.utils.ply import load_ply
+        from gstpu.utils.ply import load_ply, render_space_params
         data = NerfSyntheticDataset(args_cli.dataset, "train")
-        params = load_ply(args_cli.ply)
+        params = render_space_params(load_ply(args_cli.ply))
         n = params["positions"].shape[0]
         tcam = data.camera(0)
         tset = RenderSettings(width=data.width, height=data.height,

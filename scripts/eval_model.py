@@ -48,14 +48,15 @@ def main():
     ds = ds_cls(args.dataset, args.split, downscale=args.resolution,
                 white_background=args.white_background)
 
+    from gstpu.utils.ply import render_space_params
     params = load_ply(args.ply)
+    if args.activated:  # explicit override for comment-less foreign PLYs
+        params["parameterization"] = "activated"
+    params = render_space_params(params)
     n = params["positions"].shape[0]
     j = jnp.asarray
     scales = params["scales"]
     opac = params["opacities"]
-    if args.activated:
-        scales = np.exp(scales)
-        opac = 1.0 / (1.0 + np.exp(-opac))
     arrs = (j(params["positions"]), j(scales), j(params["rotations"]),
             j(opac), j(params["shs"].reshape(n, 16, 3)))
 

@@ -45,7 +45,8 @@ def main():
     ap.add_argument("--no-pallas", action="store_true")
     args = ap.parse_args()
 
-    params = load_ply(args.ply)
+    from gstpu.utils.ply import render_space_params
+    params = render_space_params(load_ply(args.ply))
     n = params["positions"].shape[0]
     use_pallas = not args.no_pallas and jax.default_backend() == "tpu"
     settings = RenderSettings(width=args.size, height=args.size,

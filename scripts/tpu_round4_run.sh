@@ -10,6 +10,7 @@ cd "$(dirname "$0")/.."
 LOGDIR=${1:-/tmp/tpu_round4}
 mkdir -p "$LOGDIR" assets
 
+FAILS=0
 stage() {  # stage <name> <timeout-sec> <cmd...>
     local name=$1 tmo=$2; shift 2
     echo "=== $name ($(date +%H:%M:%S)) ==="
@@ -17,12 +18,13 @@ stage() {  # stage <name> <timeout-sec> <cmd...>
         echo "    ok: $(tail -1 "$LOGDIR/$name.log" | head -c 200)"
     else
         echo "    FAILED rc=$? (see $LOGDIR/$name.log)"
+        FAILS=$((FAILS + 1))
     fi
 }
 
-land() {  # copy whatever exists so far into assets/
-    for a in bench r4_kernels r4_micro profile_full profile_band8 \
-             bench_trained sol scaling_100k scaling_1000k; do
+land() {  # copy whatever exists so far into assets/ (stages this script runs)
+    for a in bench r4_kernels profile_full bench_trained \
+             scaling_100k scaling_1000k; do
         [ -f "$LOGDIR/$a.log" ] && cp "$LOGDIR/$a.log" "assets/${a}_r4.log"
     done
     for run in /tmp/lego_official_7k /tmp/lego_official_15k /tmp/lego_l1_7k; do
@@ -101,4 +103,5 @@ for a in turntable.gif train_progress.gif; do
 done
 land
 
-echo "=== done ($(date +%H:%M:%S)); logs in $LOGDIR ==="
+echo "=== done ($(date +%H:%M:%S)); logs in $LOGDIR; $FAILS stage(s) failed ==="
+[ "$FAILS" -eq 0 ]

@@ -83,6 +83,48 @@ def test_ply_round_trip(tmp_path):
         np.testing.assert_allclose(loaded[k], params[k], atol=1e-6, err_msg=k)
 
 
+def test_ply_parameterization_round_trip_and_detection(tmp_path):
+    """--activated checkpoints store log-scales/logit-opacities (official
+    3DGS on-disk convention); loading one as raw gave screen-covering splats
+    and a 54 GB binning allocation (BENCH_r04 trained_scene_error)."""
+    from gstpu.utils.ply import detect_parameterization, render_space_params
+
+    rng = np.random.default_rng(5)
+    n = 9
+    scales = rng.uniform(0.01, 0.2, (n, 3)).astype(np.float32)
+    opac = rng.uniform(0.05, 0.95, n).astype(np.float32)
+    stored = {
+        "positions": rng.normal(0, 1, (n, 3)).astype(np.float32),
+        "scales": np.log(scales),
+        "opacities": np.log(opac / (1 - opac)),
+        "rotations": np.tile([0, 0, 0, 1.0], (n, 1)).astype(np.float32),
+        "shs": rng.normal(0, 0.3, (n, 16, 3)).astype(np.float32),
+    }
+    path = tmp_path / "act.ply"
+    save_ply(stored, path, n, parameterization="activated")
+    loaded = load_ply(path)
+    # explicit comment round-trips
+    assert loaded["parameterization"] == "activated"
+    rp = render_space_params(loaded)
+    np.testing.assert_allclose(rp["scales"], scales, rtol=1e-5)
+    np.testing.assert_allclose(rp["opacities"], opac, rtol=1e-5)
+    assert "parameterization" not in rp
+
+    # comment-less foreign PLY: classified by value ranges
+    save_ply(stored, tmp_path / "foreign.ply", n)
+    foreign = load_ply(tmp_path / "foreign.ply")
+    assert "parameterization" not in foreign
+    assert detect_parameterization(foreign) == "activated"
+
+    # raw (reference Q2) values pass through untouched
+    raw = {**stored, "scales": scales, "opacities": opac}
+    save_ply(raw, tmp_path / "raw.ply", n, parameterization="raw")
+    loaded_raw = load_ply(tmp_path / "raw.ply")
+    assert detect_parameterization(loaded_raw) == "raw"
+    np.testing.assert_allclose(
+        render_space_params(loaded_raw)["scales"], scales, rtol=1e-6)
+
+
 def test_ply_header_matches_3dgs_schema(tmp_path):
     params = {
         "positions": np.zeros((2, 3), np.float32),
