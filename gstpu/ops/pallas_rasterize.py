@@ -375,6 +375,38 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
 # Backward
 # ---------------------------------------------------------------------------
 
+_CUMSUM_BLOCK = 512
+
+
+def _inclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum of (K, C) f32 along axis 0, MXU-blocked on TPU.
+
+    On TPU, XLA's flat ``jnp.cumsum`` over (425k, 16) costs ~0.97 ms; the
+    same scan as per-block triangular matmuls on the systolic array (intra-
+    block prefix sums = tri(B,B) @ block, then a tiny coarse cumsum of block
+    totals) costs ~0.21 ms (scripts/r5_segsum.py).  Per-block reassociation
+    shifts sums by ~1e-4 relative at K=425k — within the compiled parity
+    gate's 1e-3 grad threshold but above the 1e-5 the CPU interpret-mode
+    tests pin the epilogue to, so non-TPU backends keep the flat scan
+    (bit-identical to the XLA path's addition order).
+    """
+    if jax.default_backend() != "tpu":
+        return jnp.cumsum(x, axis=0)
+    k, c = x.shape
+    b = _CUMSUM_BLOCK
+    kp = -(-k // b) * b
+    xb = jnp.pad(x, ((0, kp - k), (0, 0))).reshape(kp // b, b, c)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    tri = (rows_i <= cols_i).astype(jnp.float32)
+    intra = jax.lax.dot_general(                 # intra[j, blk, c]
+        tri, xb, (((0,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    intra = jnp.moveaxis(intra, 0, 1)            # (blocks, b, c)
+    coarse = jnp.cumsum(intra[:, -1], axis=0) - intra[:, -1]
+    return (intra + coarse[:, None, :]).reshape(kp, c)[:k]
+
 def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
                 row0_ref, feat_hbm, pix_in, grads_hbm, processed_ref,
                 feat_vmem, grad_vmem, merge_vmem, sem_in, sem_out, sem_mrg):
@@ -697,7 +729,7 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
         [pair_grads, jnp.zeros((1, GRAD_ROWS), jnp.float32)])
     src = jnp.minimum(pairs.gm_pos, k)                     # (K_full,)
     grads_gm = pair_grads[src]                             # (K_full, 16)
-    csum = jnp.cumsum(grads_gm, axis=0)
+    csum = _inclusive_cumsum(grads_gm)
     csum = jnp.concatenate([jnp.zeros((1, GRAD_ROWS), jnp.float32), csum])
     ends = jnp.clip(pairs.gauss_cum, 0, pairs.gm_pos.shape[0])
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
