@@ -65,6 +65,12 @@ def run_starts(offsets: jnp.ndarray, k: int) -> jnp.ndarray:
     """start[q] = largest offsets[i] <= q (0 if none), offsets non-decreasing.
 
     The run-local index of slot q within its segment is ``q - start[q]``.
+    (An isolated 1-D ``lax.cummax`` at K=425k measures 1.19 ms on TPU where
+    ``cumsum`` is ~free, but replacing it with a ``fill_by_offsets(offsets,
+    offsets)`` telescoped scatter+cumsum REGRESSED the frame 14.3 -> 15.2 ms:
+    the scatter below is CSE'd with ``segment_ids_from_offsets``'s identical
+    scatter, so the cummax formulation costs one shared scatter + one scan
+    while the fill costs a second, differently-valued scatter.  Kept.)
     """
     iota = jnp.arange(k, dtype=jnp.int32)
     is_start = jnp.zeros((k,), jnp.int32).at[offsets].add(1, mode="drop") > 0
