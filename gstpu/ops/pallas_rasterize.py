@@ -158,30 +158,37 @@ def _feat_dma(feat_hbm, feat_vmem, sem, astart, b, slot: int):
 
 
 def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
-                row0_ref, feat_hbm, out_ref, feat_vmem, sem):
+                row0_ref, feat_hbm, out_ref, feat_vmem, acc_vmem, td_vmem,
+                last_vmem, sem):
     """Forward compositing, one 16x16 tile per grid step.
 
-    The loop advances one BLOCK (BLOCK_CHUNKS chunks, one DMA) per iteration
+    The while loop advances one CHUNK per iteration; DMA stays BLOCK-granular
+    (waits at the block's first chunk, prefetch of block+2 after its last),
     with the VMEM slot selected by block parity: DMA waits/starts sit in
     pl.when branches with STATIC slot indices, and the feature block is a
     vector select over both slots (reading the inactive, possibly mid-DMA
-    slot is safe — its lanes are discarded).  Compute stays chunk-granular
-    via static sub-slices.  Color/depth/n_contrib accumulate as full
-    (256, C) carries and reduce across lanes ONCE after the loop — the only
-    per-chunk lane reduction is the transmittance min (a true sequential
-    dependency).
+    slot is safe — its lanes are discarded).
 
-    Dead chunks past the tile's live span run their (all-masked, exact-zero)
-    VPU math unconditionally.  Round 3 tried to skip them: (a) a
-    value-returning ``lax.cond`` fails real-TPU Mosaic legalization
-    ("failed to legalize operation 'scf.if'"), and (b) shrinking the
-    accumulators to per-chunk-reduced (256, 1) columns makes the WHILE
-    loop's own ``scf.yield`` fail to legalize — lane-reduction results
-    carry a lane-replicated vreg layout (#tpu.vpad "32,{0,*},(8,128)")
-    that Mosaic cannot yield as a loop carry (reproduced on v5e; interpret
-    mode and jax.export cross-lowering both pass, so only a real-Mosaic
-    compile catches this class).  Block-level skipping still happens via
-    the while_loop cond.
+    Chunk-granular control flow (round 5) exists for the trained-scene
+    regime: with every tile occupied at ~300 pairs, the round-4 BLOCK-
+    granular loop always ran all 4 chunks (the dead ones all-masked but
+    paying full VPU cost) — the span cond now stops at the live chunk
+    count, and the early-exit check runs 4x as often.  The chunk index
+    within the block is traced, so compute dispatches through a 4-way
+    static ``pl.when`` ladder (Mosaic has no value-returning conditional;
+    round 3's lax.cond attempt failed to legalize) — which forces the
+    accumulators out of the while carry into VMEM scratch:
+
+    - ``acc_vmem`` (4, 256, C): color r/g/b + inverse-depth, accumulated
+      in-place per chunk and lane-reduced ONCE after the loop;
+    - ``td_vmem`` (2, 256, C): transmittance and done-flag, kept
+      lane-REPLICATED so the per-chunk read needs no narrow (256, 1)
+      VMEM access (done rides as f32 0/1 — Mosaic cannot legalize
+      vector<i1> carries/stores);
+    - ``last_vmem`` (256, C) int32: last-contributor position.
+
+    Dead lanes are still maskable garbage: every per-pair term is gated by
+    ``lane_valid``, which also covers never-DMA'd stale VMEM.
     """
     t = pl.program_id(0)
     start = tile_start[t]
@@ -195,11 +202,10 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     # Empty tiles skip EVERYTHING below: initializing + final-reducing the
-    # (256, CHUNK) loop carries costs ~3.5 us/tile even with zero pairs
-    # (measured round 4: the full kernel at the bench scene is 9.7 ms of
-    # which 8.8 ms is this fixed cost — only 143/2500 tiles are nonempty
-    # there).  A no-result scf.if (pl.when) legalizes fine on real TPUs,
-    # unlike the value-returning lax.cond (see the docstring above).
+    # (256, CHUNK) accumulators costs ~3.5 us/tile even with zero pairs
+    # (measured round 4: 8.8 of the fwd kernel's 9.7 ms at the bench scene,
+    # where only 143/2500 tiles are nonempty).  A no-result scf.if (pl.when)
+    # legalizes fine on real TPUs, unlike a value-returning lax.cond.
     @pl.when(count == 0)
     def _():
         zero = jnp.zeros((TILE_PIXELS,), jnp.float32)
@@ -220,110 +226,133 @@ def _fwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         def _():
             _feat_dma(feat_hbm, feat_vmem, sem, astart, 1, 1).start()
 
-        def one_chunk(feat, c, trans, done, cacc, dacc, last):
-            """Composite one chunk from a (FEAT_ROWS, CHUNK) slice; safe on
-            never-DMA'd (stale) data: every per-pair term is masked by
-            ``lane_valid``, which is all-False then."""
-            pos = c * CHUNK + lanes - head                    # (1, C) in-tile idx
+        acc_vmem[...] = jnp.zeros((4, TILE_PIXELS, CHUNK), jnp.float32)
+        td_vmem[0] = jnp.ones((TILE_PIXELS, CHUNK), jnp.float32)
+        td_vmem[1] = jnp.zeros((TILE_PIXELS, CHUNK), jnp.float32)
+        last_vmem[...] = jnp.zeros((TILE_PIXELS, CHUNK), jnp.int32)
+
+        def one_chunk(feat, c):
+            """Composite one chunk from a (FEAT_ROWS, CHUNK) slice, reading
+            and writing the scratch accumulators in place."""
+            trans = td_vmem[0]                               # lane-replicated
+            done = td_vmem[1]
+            pos = c * CHUNK + lanes - head                   # (1, C) in-tile idx
             lane_valid = (pos >= 0) & (pos < count)
             alpha_eff, indiv, _, _, _, _, _ = _chunk_alpha_vmem(
                 feat, pixf_x, pixf_y, lane_valid)
             p_incl, t_ex = _prefix_products(trans, alpha_eff, lanes)
-            # ``done`` rides the while carry as f32 0/1, not bool: Mosaic cannot
-            # legalize vector<i1> loop carries on real TPUs (scf.yield fails)
             kept = indiv & (p_incl >= T_EPS) & (done == 0.0)
-            w = jnp.where(kept, alpha_eff * t_ex, 0.0)        # (256, C)
+            w = jnp.where(kept, alpha_eff * t_ex, 0.0)       # (256, C)
 
-            cacc = (cacc[0] + w * _feat_row(feat, 6, lane_valid),
-                    cacc[1] + w * _feat_row(feat, 7, lane_valid),
-                    cacc[2] + w * _feat_row(feat, 8, lane_valid))
-            dacc = dacc + w * _feat_row(feat, 9, lane_valid)
-            last = jnp.maximum(last, jnp.where(kept, pos + 1, 0))
+            acc_vmem[0] += w * _feat_row(feat, 6, lane_valid)
+            acc_vmem[1] += w * _feat_row(feat, 7, lane_valid)
+            acc_vmem[2] += w * _feat_row(feat, 8, lane_valid)
+            acc_vmem[3] += w * _feat_row(feat, 9, lane_valid)
+            last_vmem[...] = jnp.maximum(last_vmem[...],
+                                         jnp.where(kept, pos + 1, 0))
 
             p_kept = jnp.where(kept, p_incl, jnp.inf)
             p_last = jnp.min(p_kept, axis=1, keepdims=True)
-            trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
-            # the reference BREAKS the pixel at the first passing Gaussian whose
-            # would-be transmittance crosses below 1e-4 (forward.py:486-488);
-            # once every pixel is done the tile's while_loop exits early
-            done = jnp.maximum(done, jnp.any(
+            td_vmem[0] = jnp.where(jnp.isfinite(p_last),
+                                   jnp.broadcast_to(p_last,
+                                                    (TILE_PIXELS, CHUNK)),
+                                   trans)
+            # the reference BREAKS the pixel at the first passing Gaussian
+            # whose would-be transmittance crosses below 1e-4
+            # (forward.py:486-488); once every pixel is done the loop exits
+            td_vmem[1] = jnp.maximum(done, jnp.broadcast_to(jnp.any(
                 indiv & (p_incl < T_EPS), axis=1, keepdims=True
-            ).astype(jnp.float32))
-            return trans, done, cacc, dacc, last
+            ).astype(jnp.float32), (TILE_PIXELS, CHUNK)))
 
         def body(carry):
-            (b, trans, done, cacc, dacc, last) = carry
-            even = b % 2 == 0
+            c = carry[0]
+            blk = c // BLOCK_CHUNKS
+            u = c % BLOCK_CHUNKS
+            even = blk % 2 == 0
 
             # the wait descriptor must match the start descriptor exactly
-            # (same astart base) — the semaphore decrement is shape-derived, but
-            # the address is still a pl.multiple_of hint to Mosaic and must hold
-            @pl.when(even)
+            # (same astart base) — the semaphore decrement is shape-derived,
+            # but the address is a pl.multiple_of hint to Mosaic and must hold
+            @pl.when((u == 0) & even)
             def _():
-                _feat_dma(feat_hbm, feat_vmem, sem, astart, b, 0).wait()
+                _feat_dma(feat_hbm, feat_vmem, sem, astart, blk, 0).wait()
 
-            @pl.when(jnp.logical_not(even))
+            @pl.when((u == 0) & jnp.logical_not(even))
             def _():
-                _feat_dma(feat_hbm, feat_vmem, sem, astart, b, 1).wait()
+                _feat_dma(feat_hbm, feat_vmem, sem, astart, blk, 1).wait()
 
             feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
-            for u in range(BLOCK_CHUNKS):
-                # dead chunks past the span are all-masked (exact zeros); see
-                # the docstring for why they are not lax.cond-gated
-                trans, done, cacc, dacc, last = one_chunk(
-                    feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
-                    b * BLOCK_CHUNKS + u, trans, done, cacc, dacc, last)
+            for us in range(BLOCK_CHUNKS):
+                # the in-block chunk index is traced: dispatch to the static
+                # sub-slice through a no-result pl.when ladder
+                @pl.when(u == us)
+                def _(us=us):
+                    one_chunk(feat_blk[:, us * CHUNK:(us + 1) * CHUNK],
+                              blk * BLOCK_CHUNKS + us)
 
-            # the consumed slot is free: prefetch block b+2 into it
-            @pl.when(even & ((b + 2) * BLOCK < span))
+            # after the block's last chunk the consumed slot is free:
+            # prefetch block blk+2 into it (same parity slot)
+            last_u = u == BLOCK_CHUNKS - 1
+
+            @pl.when(last_u & even & ((blk + 2) * BLOCK < span))
             def _():
-                _feat_dma(feat_hbm, feat_vmem, sem, astart, b + 2, 0).start()
+                _feat_dma(feat_hbm, feat_vmem, sem, astart, blk + 2, 0).start()
 
-            @pl.when(jnp.logical_not(even) & ((b + 2) * BLOCK < span))
+            @pl.when(last_u & jnp.logical_not(even)
+                     & ((blk + 2) * BLOCK < span))
             def _():
-                _feat_dma(feat_hbm, feat_vmem, sem, astart, b + 2, 1).start()
+                _feat_dma(feat_hbm, feat_vmem, sem, astart, blk + 2, 1).start()
 
-            return (b + 1, trans, done, cacc, dacc, last)
+            stop = jnp.min(td_vmem[1])
+            return (c + 1, stop)
 
         def cond(carry):
-            b, done = carry[0], carry[2]
-            return (b * BLOCK < span) & (jnp.min(done) == 0.0)
+            c, stop = carry
+            return (c * CHUNK < span) & (stop == 0.0)
 
-        zc = jnp.zeros((TILE_PIXELS, CHUNK), jnp.float32)
-        init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
-                jnp.zeros((TILE_PIXELS, 1), jnp.float32),
-                (zc, zc, zc), zc, jnp.zeros((TILE_PIXELS, CHUNK), jnp.int32))
-        (b_end, trans, _, cacc, dacc, last) = jax.lax.while_loop(cond, body, init)
+        (c_end, _) = jax.lax.while_loop(cond, body,
+                                        (jnp.int32(0), jnp.float32(0.0)))
 
-        # early exit (or count == 0 skip) can leave prefetched DMAs un-waited;
-        # drain them (block x rides slot x % 2) so slot reuse stays safe.
-        even_end = b_end % 2 == 0
+        # Drain un-waited DMAs so slot reuse stays safe.  Waits run at each
+        # block's FIRST chunk, so after exiting at chunk c_end:
+        # - block blk_end is un-waited iff the exit landed exactly on its
+        #   first chunk (u_end == 0) and it was started (blk_end*BLOCK<span);
+        # - block blk_end+1 was started (initially or by prefetch — both
+        #   conditions reduce to (blk_end+1)*BLOCK < span) and never waited.
+        # No deeper block can be in flight: prefetch of blk+2 happens at
+        # blk's last chunk, which the loop has not passed.
+        blk_end = c_end // BLOCK_CHUNKS
+        u_end = c_end % BLOCK_CHUNKS
+        even_end = blk_end % 2 == 0
+        w0 = (u_end == 0) & (blk_end * BLOCK < span)
 
-        @pl.when((b_end * BLOCK < span) & even_end)
+        @pl.when(w0 & even_end)
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end, 0).wait()
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, blk_end, 0).wait()
 
-        @pl.when((b_end * BLOCK < span) & jnp.logical_not(even_end))
+        @pl.when(w0 & jnp.logical_not(even_end))
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end, 1).wait()
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, blk_end, 1).wait()
 
-        @pl.when(((b_end + 1) * BLOCK < span) & even_end)
-        def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end + 1, 1).wait()
+        w1 = (blk_end + 1) * BLOCK < span
 
-        @pl.when(((b_end + 1) * BLOCK < span) & jnp.logical_not(even_end))
+        @pl.when(w1 & even_end)
         def _():
-            _feat_dma(feat_hbm, feat_vmem, sem, astart, b_end + 1, 0).wait()
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, blk_end + 1, 1).wait()
+
+        @pl.when(w1 & jnp.logical_not(even_end))
+        def _():
+            _feat_dma(feat_hbm, feat_vmem, sem, astart, blk_end + 1, 0).wait()
 
         # pack results as rows of the (1, 8, 256) output block; n_contrib rides
         # as bitcast float bits (exact int32 round trip)
-        out_ref[0, 0, :] = jnp.sum(cacc[0], axis=1)
-        out_ref[0, 1, :] = jnp.sum(cacc[1], axis=1)
-        out_ref[0, 2, :] = jnp.sum(cacc[2], axis=1)
-        out_ref[0, 3, :] = jnp.sum(dacc, axis=1)
-        out_ref[0, 4, :] = trans[:, 0]
+        out_ref[0, 0, :] = jnp.sum(acc_vmem[0], axis=1)
+        out_ref[0, 1, :] = jnp.sum(acc_vmem[1], axis=1)
+        out_ref[0, 2, :] = jnp.sum(acc_vmem[2], axis=1)
+        out_ref[0, 3, :] = jnp.sum(acc_vmem[3], axis=1)
+        out_ref[0, 4, :] = jnp.min(td_vmem[0], axis=1)   # lane-replicated
         out_ref[0, 5, :] = pltpu.bitcast(
-            jnp.max(last, axis=1, keepdims=True), jnp.float32)[:, 0]
+            jnp.max(last_vmem[...], axis=1, keepdims=True), jnp.float32)[:, 0]
         out_ref[0, 6, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
         out_ref[0, 7, :] = jnp.zeros((TILE_PIXELS,), jnp.float32)
 
@@ -356,6 +385,9 @@ def composite_forward(prep: PreprocessOut, pairs: Pairs,
         out_specs=pl.BlockSpec((1, 8, TILE_PIXELS), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, FEAT_ROWS, BLOCK), jnp.float32),
+                        pltpu.VMEM((4, TILE_PIXELS, CHUNK), jnp.float32),
+                        pltpu.VMEM((2, TILE_PIXELS, CHUNK), jnp.float32),
+                        pltpu.VMEM((TILE_PIXELS, CHUNK), jnp.int32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     packed = pl.pallas_call(
@@ -409,7 +441,8 @@ def _inclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
 
 def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
                 row0_ref, feat_hbm, pix_in, grads_hbm, processed_ref,
-                feat_vmem, grad_vmem, merge_vmem, sem_in, sem_out, sem_mrg):
+                feat_vmem, grad_vmem, merge_vmem, tdp_vmem, sem_in, sem_out,
+                sem_mrg):
     """Backward compositing; same block-granular parity pipeline as the
     forward, with a second ping-pong DMA pipeline draining per-pair gradient
     BLOCKs back to HBM.  The output is in SORTED pair order, so this tile's
@@ -468,16 +501,21 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
         def _():
             _feat_dma(feat_hbm, feat_vmem, sem_in, astart, 1, 1).start()
 
-        def one_chunk(feat, c, trans, done, prefix_u):
-            """Gradient rows for one chunk; stale-data safe (all terms masked by
-            lane_valid).  Returns (rows tuple, new carries)."""
+        def one_chunk(feat, c):
+            """Gradient rows for one chunk; stale-data safe (all terms masked
+            by lane_valid).  Reads/updates trans, done, and the running
+            prefix in ``tdp_vmem`` scratch (lane-replicated — the chunk
+            compute now sits inside a liveness ``pl.when``, which cannot
+            return values; done rides as f32 0/1 since Mosaic cannot
+            legalize vector<i1> stores).  Returns the grad rows tuple."""
+            trans = tdp_vmem[0]
+            done = tdp_vmem[1]
+            prefix_u = tdp_vmem[2]
             pos = c * CHUNK + lanes - head
             lane_valid = (pos >= 0) & (pos < count)
             alpha_eff, indiv, g, dx, dy, (ca, cb, cc), op = _chunk_alpha_vmem(
                 feat, pixf_x, pixf_y, lane_valid)
             p_incl, t_ex = _prefix_products(trans, alpha_eff, lanes)
-            # done is an f32 0/1 carry — see the forward kernel (Mosaic cannot
-            # legalize vector<i1> loop carries)
             kept = indiv & (p_incl >= T_EPS) & (done == 0.0)
             w = jnp.where(kept, alpha_eff * t_ex, 0.0)
 
@@ -528,15 +566,22 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
 
             p_kept = jnp.where(kept, p_incl, jnp.inf)
             p_last = jnp.min(p_kept, axis=1, keepdims=True)
-            trans = jnp.where(jnp.isfinite(p_last), p_last, trans)
-            done = jnp.maximum(done, jnp.any(
+            tdp_vmem[0] = jnp.where(
+                jnp.isfinite(p_last),
+                jnp.broadcast_to(p_last, (TILE_PIXELS, CHUNK)), trans)
+            tdp_vmem[1] = jnp.maximum(done, jnp.broadcast_to(jnp.any(
                 indiv & (p_incl < T_EPS), axis=1, keepdims=True
-            ).astype(jnp.float32))
-            prefix_u = prefix_u + jnp.sum(u, axis=1, keepdims=True)
-            return rows, trans, done, prefix_u
+            ).astype(jnp.float32), (TILE_PIXELS, CHUNK)))
+            tdp_vmem[2] = prefix_u + jnp.broadcast_to(
+                jnp.sum(u, axis=1, keepdims=True), (TILE_PIXELS, CHUNK))
+            return rows
+
+        tdp_vmem[0] = jnp.ones((TILE_PIXELS, CHUNK), jnp.float32)
+        tdp_vmem[1] = jnp.zeros((TILE_PIXELS, CHUNK), jnp.float32)
+        tdp_vmem[2] = jnp.zeros((TILE_PIXELS, CHUNK), jnp.float32)
 
         def body(carry):
-            (b, trans, done, prefix_u) = carry
+            b = carry[0]
             even = b % 2 == 0
 
             # wait descriptors mirror the starts' astart base (see fwd kernel)
@@ -548,29 +593,50 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
             def _():
                 _feat_dma(feat_hbm, feat_vmem, sem_in, astart, b, 1).wait()
 
-            feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
-            all_rows = []
-            for u in range(BLOCK_CHUNKS):
-                # dead chunks produce all-masked exact-zero grad rows; not
-                # lax.cond-gated — see the forward kernel docstring (Mosaic
-                # cannot legalize value-returning scf.if on real TPUs)
-                rows, trans, done, prefix_u = one_chunk(
-                    feat_blk[:, u * CHUNK:(u + 1) * CHUNK],
-                    b * BLOCK_CHUNKS + u, trans, done, prefix_u)
-                all_rows.append(rows)
-
-            def write_and_send(slot: int):
-                # the slot being overwritten drained two blocks ago
+            # the out slot being overwritten drained two blocks ago; zero-fill
+            # it so chunks the liveness gate skips ship exact zeros (they are
+            # within ``processed`` and must not leak stale slot contents)
+            def free_and_clear(slot: int):
                 @pl.when(b >= 2)
                 def _():
                     out_dma(b - 2, slot).wait()
+                grad_vmem[slot] = jnp.zeros((GRAD_ROWS, BLOCK), jnp.float32)
 
-                for u, rows in enumerate(all_rows):
-                    for i, r in enumerate(rows):
-                        grad_vmem[slot, i, u * CHUNK:(u + 1) * CHUNK] = r
-                    grad_vmem[slot, 10:, u * CHUNK:(u + 1) * CHUNK] = \
-                        jnp.zeros((GRAD_ROWS - 10, CHUNK), jnp.float32)
+            @pl.when(even)
+            def _():
+                free_and_clear(0)
 
+            @pl.when(jnp.logical_not(even))
+            def _():
+                free_and_clear(1)
+
+            feat_blk = jnp.where(even, feat_vmem[0], feat_vmem[1])
+            for us in range(BLOCK_CHUNKS):
+                # chunks past the live span skip their VPU math entirely
+                # (round 5): with every tile occupied at a few hundred pairs
+                # (trained scenes) the all-masked dead chunks were ~25% of
+                # kernel time.  pl.when cannot return values, so the chunk
+                # state lives in tdp_vmem scratch (see one_chunk).
+                @pl.when((b * BLOCK_CHUNKS + us) * CHUNK < span)
+                def _(us=us):
+                    rows = one_chunk(
+                        feat_blk[:, us * CHUNK:(us + 1) * CHUNK],
+                        b * BLOCK_CHUNKS + us)
+
+                    def write_rows(slot: int):
+                        for i, r in enumerate(rows):
+                            grad_vmem[slot, i,
+                                      us * CHUNK:(us + 1) * CHUNK] = r
+
+                    @pl.when(even)
+                    def _():
+                        write_rows(0)
+
+                    @pl.when(jnp.logical_not(even))
+                    def _():
+                        write_rows(1)
+
+            def merge_and_send(slot: int):
                 # block 0's head lanes belong to the PREVIOUS tile: restore its
                 # already-written gradients before sending the block out
                 @pl.when((b == 0) & (head > 0))
@@ -592,22 +658,21 @@ def _bwd_kernel(grid_x: int, row_stride: int, tile_start, tile_count,
 
             @pl.when(even)
             def _():
-                write_and_send(0)
+                merge_and_send(0)
 
             @pl.when(jnp.logical_not(even))
             def _():
-                write_and_send(1)
+                merge_and_send(1)
 
-            return (b + 1, trans, done, prefix_u)
+            stop = jnp.min(tdp_vmem[1])
+            return (b + 1, stop)
 
         def cond(carry):
-            b, done = carry[0], carry[2]
-            return (b * BLOCK < span) & (jnp.min(done) == 0.0)
+            b, stop = carry
+            return (b * BLOCK < span) & (stop == 0.0)
 
-        init = (jnp.int32(0), jnp.ones((TILE_PIXELS, 1), jnp.float32),
-                jnp.zeros((TILE_PIXELS, 1), jnp.float32),
-                jnp.zeros((TILE_PIXELS, 1), jnp.float32))
-        (b_end, _, _, _) = jax.lax.while_loop(cond, body, init)
+        (b_end, _) = jax.lax.while_loop(cond, body,
+                                        (jnp.int32(0), jnp.float32(0.0)))
 
         # drain un-waited prefetched input DMAs (block x rides slot x % 2) ...
         even_end = b_end % 2 == 0
@@ -691,6 +756,7 @@ def composite_backward(prep: PreprocessOut, pairs: Pairs,
         scratch_shapes=[pltpu.VMEM((2, FEAT_ROWS, BLOCK), jnp.float32),
                         pltpu.VMEM((2, GRAD_ROWS, BLOCK), jnp.float32),
                         pltpu.VMEM((GRAD_ROWS, CHUNK), jnp.float32),
+                        pltpu.VMEM((3, TILE_PIXELS, CHUNK), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA(())],
