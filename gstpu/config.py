@@ -171,6 +171,13 @@ class GSConfig:
     split_scale_factor: float = 0.8     # train.py:528 (0.8)
     split_n: int = 2                    # train.py:502
     opacity_reset_value: float = 0.01   # train.py:709
+    # The reference resets opacities every 3000 iterations UNCONDITIONALLY
+    # (train.py:696-713), including long after densification ends — which
+    # measurably hurts long schedules (the round-5 30k run finished BELOW
+    # the 15k run; each late reset costs a ~1k-iteration recovery).
+    # Official 3DGS only resets while densifying; set this to
+    # densify_until_iter to opt into that behavior (None = reference).
+    opacity_reset_until_iter: int | None = None
     # Official 3DGS split sampling (opt-in): children are sampled from the
     # parent's own Gaussian (N(0, S) rotated by the parent) and child
     # scales divide by 0.8*split_n — instead of the reference's +-0.01

@@ -271,5 +271,8 @@ def should_reset_opacity(config: GSConfig, iteration: int) -> bool:
     white = all(c == 1.0 for c in config.background_color)
     if iteration == 0 and config.parameterization == "activated":
         return False
+    if (config.opacity_reset_until_iter is not None
+            and iteration >= config.opacity_reset_until_iter):
+        return False  # official-3DGS gating, opt-in (see GSConfig)
     return (iteration % config.opacity_reset_interval == 0
             or (white and iteration == config.densify_from_iter))

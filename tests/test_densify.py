@@ -201,6 +201,15 @@ def test_opacity_reset_trigger():
     white = cfg.replace(background_color=(1.0, 1.0, 1.0))
     assert should_reset_opacity(white, 500)   # white bg: reset at from_iter
 
+    # official-3DGS gating (opt-in): no resets at/after the cutoff —
+    # the reference's unconditional late resets cost ~1k-iteration
+    # recoveries on long schedules (round-5 30k run)
+    gated = cfg.replace(opacity_reset_until_iter=15000)
+    assert should_reset_opacity(gated, 12000)
+    assert not should_reset_opacity(gated, 15000)
+    assert not should_reset_opacity(gated, 18000)
+    assert not should_reset_opacity(gated, 27000)
+
 
 def test_grow_capacity_preserves_state():
     model, cfg = _model(n=8, capacity=16)

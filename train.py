@@ -36,6 +36,11 @@ def main():
     parser.add_argument("--sh-warmup", type=int, default=None,
                         help="grow active SH degree every N iterations "
                              "(official 3DGS uses 1000; 0/off = reference)")
+    parser.add_argument("--opacity-reset-until", type=int, default=None,
+                        help="stop the every-3000-step opacity reset at this "
+                             "iteration (official 3DGS gates it inside the "
+                             "densify window: pass 15000; default = the "
+                             "reference's unconditional resets)")
     parser.add_argument("--activated", action="store_true",
                         help="official-3DGS parameterization (exp scales, "
                              "sigmoid opacities) instead of the reference's "
@@ -105,6 +110,9 @@ def main():
                                 lr_opac=0.05, schedule_opac=False)
     if args.sh_warmup is not None:
         config = config.replace(sh_degree_interval=args.sh_warmup)
+    if args.opacity_reset_until is not None:
+        config = config.replace(
+            opacity_reset_until_iter=args.opacity_reset_until)
     if args.random_init:
         config = config.replace(init_from_points=False)
     if args.resolution != 1:
