@@ -135,3 +135,67 @@ def test_pallas_backward_early_exit_and_boundary_merge():
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale, atol=1e-5,
                                    err_msg=name)
+
+
+def test_pallas_forward_exact_span_boundaries():
+    """Deterministic spans at the chunk-granular control-flow edges (round
+    5): counts landing exactly on CHUNK/BLOCK multiples, heads from odd
+    predecessors, tiny and empty tiles — the drain/exit cases the random
+    scenes rarely pin (span % 512 == 0 exercises the u_end == 0 DMA drain
+    path; see pallas_rasterize._fwd_kernel)."""
+    rng = np.random.default_rng(9)
+    width = height = 64                      # 4x4 tile grid
+    settings = RenderSettings(width=width, height=height,
+                              pair_capacity=1 << 13)
+    n = 64
+    j = jnp.asarray
+
+    # synthetic gaussians: wide conics covering any tile, mixed opacities so
+    # some tiles saturate (early exit) and some run out their span
+    xy = rng.uniform(0, width, (n, 2)).astype(np.float32)
+    conic = np.stack([np.full(n, 2e-4), np.zeros(n), np.full(n, 2e-4)],
+                     -1).astype(np.float32)
+    opac = rng.uniform(0.004, 0.4, n).astype(np.float32)
+    depth = rng.uniform(1.0, 9.0, n).astype(np.float32)
+    from gstpu.ops.preprocess import PreprocessOut
+    prep = PreprocessOut(
+        radii=jnp.full((n,), 50, jnp.int32), xy=j(xy), depth=j(depth),
+        cov3d=jnp.zeros((n, 6), jnp.float32),
+        rgb=j(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        conic=j(conic), opacity=j(opac),
+        tiles_touched=jnp.zeros((n,), jnp.int32),
+        rect=jnp.zeros((n, 4), jnp.int32),
+        clamped=jnp.zeros((n, 3), jnp.float32),
+        visible=jnp.ones((n,), bool))
+
+    # hand-built pair list: exact per-tile counts at the edge cases
+    counts = [512, 1024, 0, 300, 127, 128, 129, 511, 513, 0, 640, 1,
+              256, 384, 2048, 0]
+    assert len(counts) == settings.num_tiles
+    k = settings.pair_capacity
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    total = int(np.sum(counts))
+    assert total <= k
+    gauss = rng.integers(0, n, total).astype(np.int32)
+    tile = np.repeat(np.arange(16, dtype=np.int32), counts)
+    gauss_pad = np.concatenate([gauss, np.zeros(k - total, np.int32)])
+    tile_pad = np.concatenate(
+        [tile, np.full(k - total, settings.num_tiles, np.int32)])
+    from gstpu.ops.binning import Pairs
+    pairs = Pairs(gauss_id=j(gauss_pad), tile_id=j(tile_pad),
+                  tile_start=j(starts),
+                  tile_count=j(np.asarray(counts, np.int32)),
+                  num_pairs=jnp.int32(total), num_kept=jnp.int32(total),
+                  gm_pos=j(np.arange(k, dtype=np.int32)),
+                  gauss_cum=j(np.zeros(n, np.int32)))
+
+    c1, d1, t1, n1 = R.composite_forward(prep, pairs, settings)
+    c2, d2, t2, n2 = PR.composite_forward(prep, pairs, settings,
+                                          interpret=True)
+    t1n, t2n, n1n, n2n = map(np.asarray, (t1, t2, n1, n2))
+    flips = n1n != n2n
+    assert flips.mean() < 0.02, flips.mean()
+    boundary = flips | (t1n < 6e-4) | (t2n < 6e-4)
+    ok = np.abs(np.asarray(c1) - np.asarray(c2)) <= 2e-6
+    assert np.all(ok | boundary[:, :, None])
+    np.testing.assert_allclose(t1n[~boundary], t2n[~boundary], atol=2e-6)
